@@ -1,0 +1,485 @@
+"""The wave-based crawl engine — SURVEY §2.1 C1-C14 as DataFrame jobs.
+
+One BFS generation ("wave") = one Spark job over the pending frontier:
+
+  pending(depth d, FIFO rank)                                        [C1/C2]
+    -> canonicalize (Arrow UDF)            normalize ×2 + null-reject [C3]
+    -> within-wave first-rank-wins + anti-join vs `seen`              [C4]
+    -> robots join (per-host rules fetched once, cached in `robots`)  [C5/C6]
+    -> per-host politeness budget (optional, window)                  [C7]
+    -> batched synthetic fetch (mapInPandas, Arrow)                   [C8]
+    -> content-hash dedup (anti-join `seen_hashes` + wave window)     [C9]
+    -> max-pages budget cut at the FIFO stop rank                     [C2]
+    -> link explode -> canonicalize -> (url,depth) pair dedup         [C10]
+    -> per-parent top-K by (len(url), doc order) into `links`         [C11]
+    -> atomic snapshot commit of images/links/seen/frontier           [C12/C13]
+
+Crawl order is BY CONSTRUCTION the reference's single-threaded FIFO order:
+`discovery_rank` is a dense total order (seeds in file order; children in
+(parent_rank, document_position) order), so sorting by (wave, rank) equals
+the reference's poll order — verified against the pure-Python simulator.
+
+Scale notes (10^10-URL frontier, 1000 executors):
+* the only big shuffles per wave are the `seen` anti-join and the child
+  dedup — both hash-partitioned on url_hash/url; AQE skew-join splits hot
+  hosts, and `fetch` is salted round-robin so one hot host cannot pin a task;
+* child rank assignment uses sort + zipWithIndex (distributed two-pass),
+  NOT a single-partition window;
+* `seen` stays partitioned on disk by pmod(url_hash, N) so the anti-join
+  can co-locate (bucketed-table MERGE under Iceberg on a real cluster).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sher_look_spark.crawler import synth
+from sher_look_spark.crawler.simulator import child_limit
+from sher_look_spark.crawler.storage import SnapshotStore
+from sher_look_spark.functions.hashing import sha256_b64url, url_hash64
+from sher_look_spark.functions.robots import parse_robots_txt, robots_allowed_udf
+from sher_look_spark.functions.urls import canonicalize_href, normalize_url
+
+PENDING_SCHEMA = "url string, depth int, rank long"
+
+FETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("rank", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("links", T.ArrayType(T.StringType())),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+@dataclass
+class CrawlConfig:
+    max_pages: int = 50_000          # application.properties:10
+    max_depth: int = 3               # application.properties:12
+    queue_cap: int = 50_000          # PersistentQueue.java:22
+    per_host_wave_cap: int | None = None  # politeness budget; None = fidelity mode
+    fetch_partitions: int | None = None   # salt width for the fetch stage
+    web: synth.SynthWebConfig = field(default_factory=synth.SynthWebConfig)
+
+
+def _normalize_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StringType())
+    def norm(urls: pd.Series) -> pd.Series:
+        # CrawlTask.java:71-73 normalizes twice; ours is idempotent, once is exact.
+        return urls.map(normalize_url)
+
+    return norm
+
+
+def _urlhash_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def uh(urls: pd.Series) -> pd.Series:
+        return urls.map(lambda u: url_hash64(u) if u is not None else None)
+
+    return uh
+
+
+def _canonicalize_href_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StringType())
+    def canon(base: pd.Series, href: pd.Series) -> pd.Series:
+        return pd.Series([canonicalize_href(b, h) for b, h in zip(base, href)])
+
+    return canon
+
+
+def _make_fetch_mapper(web: synth.SynthWebConfig):
+    """mapInPandas fetcher: one Arrow batch in, fetched+decoded rows out.
+
+    Stands in for the Jsoup GET (CrawlTask.java:104-113); on a real crawl this
+    is where HTTP + image decode happens, batched per partition.
+    """
+
+    def mapper(batches):
+        for pdf in batches:
+            out = {k: [] for k in FETCH_SCHEMA.fieldNames()}
+            for url, depth, rank in zip(pdf["url"], pdf["depth"], pdf["rank"]):
+                r = synth.fetch(web, url)
+                out["url"].append(url)
+                out["depth"].append(int(depth))
+                out["rank"].append(int(rank))
+                out["status"].append(r.status)
+                out["title"].append(r.title)
+                out["description"].append(r.description)
+                out["content_hash"].append(sha256_b64url(r.html) if r.html is not None else None)
+                out["links"].append(r.links)
+                out["bytes"].append(r.image)
+                out["w"].append(r.w)
+                out["h"].append(r.h)
+                out["fmt"].append(r.fmt)
+                out["caption"].append(r.caption)
+                out["phash"].append(r.phash)
+            # int columns with Nones must be nullable Int64 — the pandas
+            # default (float64) silently destroys the low bits of phash
+            for col in ("w", "h", "phash"):
+                out[col] = pd.array(out[col], dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return mapper
+
+
+def _dense_rank_sorted(df: DataFrame, sort_cols: list, out_col: str, offset: int) -> DataFrame:
+    """Dense 0..n-1 ranks in sort order WITHOUT a single-partition window:
+    distributed sort + zipWithIndex (two-pass, scale-safe)."""
+    spark = df.sparkSession
+    sdf = df.sortWithinPartitions(*sort_cols).sort(*sort_cols)
+    schema = sdf.schema.add(out_col, T.LongType())
+    rdd = sdf.rdd.zipWithIndex().map(lambda t: (*t[0], t[1] + offset))
+    return spark.createDataFrame(rdd, schema)
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, state_dir: str, cfg: CrawlConfig):
+        self.spark = spark
+        self.cfg = cfg
+        self.store = SnapshotStore(state_dir)
+        self._norm = _normalize_udf()
+        self._uh = _urlhash_udf()
+        self._canon = _canonicalize_href_udf()
+
+    # ------------------------------------------------------------------ setup
+    def seed(self, seeds: list[str]) -> None:
+        """C1: seed the frontier iff it is initially empty (Crawler.java:87-105)."""
+        if self.store.latest() is not None:
+            return
+        rows = [(u, 0, i) for i, u in enumerate(seeds)]
+        df = self.spark.createDataFrame(rows, PENDING_SCHEMA)
+        rel = self.store.stage_write(df, "pending", 0)
+        self.store.commit(
+            replaces={"pending": [rel]},
+            state={"wave": 0, "committed": 0, "next_rank": len(seeds)},
+        )
+
+    # ------------------------------------------------------------- robots (C5)
+    def _resolve_robots(self, cand: DataFrame) -> DataFrame:
+        """Fetch+parse robots.txt once per new host; persist to `robots`."""
+        robots = self.store.read(self.spark, "robots")
+        hosts = cand.select("host").distinct()
+        if robots is not None:
+            new_hosts = hosts.join(robots.select("host"), "host", "left_anti")
+        else:
+            new_hosts = hosts
+        web = self.cfg.web
+
+        def fetch_robots(batches):
+            for pdf in batches:
+                rows = {"host": [], "has_rules": [], "allow": [], "disallow": []}
+                for host in pdf["host"]:
+                    page = synth.parse_page_url(web, f"http://{host}/page/0")
+                    body = synth.robots_txt(web, page[0]) if page else None
+                    rules = parse_robots_txt(body) if body is not None else None
+                    rows["host"].append(host)
+                    rows["has_rules"].append(rules is not None)
+                    rows["allow"].append(rules[0] if rules else [])
+                    rows["disallow"].append(rules[1] if rules else [])
+                yield pd.DataFrame(rows)
+
+        schema = "host string, has_rules boolean, allow array<string>, disallow array<string>"
+        fetched = new_hosts.mapInPandas(fetch_robots, schema)
+        return robots.unionByName(fetched) if robots is not None else fetched
+
+    # --------------------------------------------------------------- one wave
+    def run_wave(self) -> dict:
+        t0 = time.time()
+        snap = self.store.latest()
+        assert snap is not None, "seed() first"
+        state = dict(snap.state)
+        wave = state["wave"]
+        committed_total = state["committed"]
+        budget = self.cfg.max_pages - committed_total
+        pending = self.store.read(self.spark, "pending")
+        if pending is None or budget <= 0:
+            return {"done": True, **state}
+        n_pending_total = pending.count()
+        if n_pending_total == 0:
+            return {"done": True, **state}
+
+        min_depth = pending.agg(F.min("depth")).collect()[0][0]
+        wave_cand = pending.filter(F.col("depth") == min_depth)
+        rest_pending = pending.filter(F.col("depth") != min_depth)
+
+        # --- C3: canonicalize; invalid URLs are polled but never visited
+        cand = (
+            wave_cand.withColumn("norm", self._norm("url"))
+            .filter(F.col("norm").isNotNull())
+            .withColumn("url_hash", self._uh("norm"))
+            .withColumn("host", F.parse_url("norm", F.lit("HOST")))
+            .withColumn("path", F.coalesce(F.parse_url("norm", F.lit("PATH")), F.lit("")))
+        )
+
+        # --- C4: within-wave first-rank-wins + anti-join the URL-seen set
+        w_url = Window.partitionBy("url_hash").orderBy("rank")
+        winners = cand.withColumn("rn", F.row_number().over(w_url)).filter(F.col("rn") == 1).drop("rn")
+        seen = self.store.read(self.spark, "seen")
+        if seen is not None:
+            winners = winners.join(seen.select("url_hash"), "url_hash", "left_anti")
+
+        # --- C7: optional per-host politeness budget (deferred, not dropped)
+        deferred = None
+        if self.cfg.per_host_wave_cap is not None:
+            w_host = Window.partitionBy("host").orderBy("rank")
+            winners = winners.withColumn("host_slot", F.row_number().over(w_host))
+            deferred = winners.filter(F.col("host_slot") > self.cfg.per_host_wave_cap)
+            winners = winners.filter(F.col("host_slot") <= self.cfg.per_host_wave_cap).drop("host_slot")
+
+        # --- C5/C6: robots rules join + allow filter
+        robots = self._resolve_robots(winners)
+        robots_cached = robots.persist()
+        joined = winners.join(F.broadcast(robots_cached), "host", "left")
+        joined = joined.withColumn(
+            "allowed",
+            F.when(F.col("has_rules").isNull() | ~F.col("has_rules"), F.lit(True)).otherwise(
+                robots_allowed_udf("path", "allow", "disallow")
+            ),
+        )
+        allowed = joined.filter(F.col("allowed")).select("norm", "depth", "rank")
+
+        # --- C8: batched fetch, salted round-robin so hot hosts spread out
+        nparts = self.cfg.fetch_partitions or self.spark.sparkContext.defaultParallelism
+        fetch_in = allowed.withColumnRenamed("norm", "url").repartition(nparts, F.pmod(F.col("rank"), F.lit(nparts)))
+        fetched = fetch_in.mapInPandas(_make_fetch_mapper(self.cfg.web), FETCH_SCHEMA).persist()
+
+        # --- C9: content dedup (cross-wave anti-join + within-wave window)
+        ok = fetched.filter(F.col("status") == "ok")
+        seen_hashes = self.store.read(self.spark, "seen_hashes")
+        if seen_hashes is not None:
+            ok = ok.join(seen_hashes, "content_hash", "left_anti")
+        w_hash = Window.partitionBy("content_hash").orderBy("rank")
+        survivors = ok.withColumn("hrn", F.row_number().over(w_hash)).filter(F.col("hrn") == 1).drop("hrn")
+
+        # --- C2: max-pages budget — cut at the FIFO stop rank
+        n_survivors = survivors.count()
+        stop_rank = None
+        if n_survivors > budget:
+            stop_rank = (
+                survivors.orderBy("rank").limit(budget).agg(F.max("rank")).collect()[0][0]
+            )
+            survivors = survivors.filter(F.col("rank") <= stop_rank)
+        committed = survivors.persist()
+        n_committed = committed.count()
+
+        # --- C10/C11: children of committed parents
+        next_rank = state["next_rank"]
+        accepted = None
+        links_rel = None
+        if min_depth < self.cfg.max_depth and n_committed > 0:
+            exploded = committed.select(
+                F.col("url").alias("parent_url"),
+                F.col("depth").alias("parent_depth"),
+                F.col("rank").alias("parent_rank"),
+                F.posexplode("links").alias("link_pos", "href"),
+            )
+            children = (
+                exploded.withColumn("child", self._canon("parent_url", "href"))
+                .filter(F.col("child").isNotNull())
+            )
+            # offer() pair-dedup: first (parent_rank, link_pos) wins per child URL
+            w_child = Window.partitionBy("child").orderBy("parent_rank", "link_pos")
+            children = children.withColumn("crn", F.row_number().over(w_child)).filter(F.col("crn") == 1).drop("crn")
+            # dedup vs URLs still pending at other depths (uncrawledSet semantics)
+            others = rest_pending
+            if deferred is not None:
+                others = others.unionByName(
+                    deferred.select(F.col("norm").alias("url"), "depth", "rank")
+                )
+            if others is not None:
+                pend_pairs = others.select(F.col("url").alias("child"))
+                children = children.join(pend_pairs, "child", "left_anti")
+            children = children.persist()
+
+            n_children = children.count()
+            # queue cap (PersistentQueue.java:22,97): accept-all fast path when
+            # the cap cannot bind; exact sequential replay otherwise.
+            leftover_est = n_pending_total  # upper bound of queue occupancy
+            if leftover_est + n_children > self.cfg.queue_cap:
+                accepted = self._apply_queue_cap_exact(
+                    wave_cand, n_pending_total, committed, children
+                )
+            else:
+                accepted = children
+
+            # links table: per-parent distinct children sorted by URL length
+            # (stable on document order), limited per parent depth (C11)
+            limit_expr = F.coalesce(
+                *[
+                    F.when(F.col("parent_depth") == d, F.lit(k))
+                    for d, k in ((0, 300), (1, 150), (2, 75), (3, 50))
+                ],
+                F.lit(25),
+            )
+            w_parent = Window.partitionBy("parent_rank").orderBy(
+                F.length("child"), "link_pos"
+            )
+            links_df = (
+                accepted.withColumn("k", limit_expr)
+                .withColumn("lrn", F.row_number().over(w_parent))
+                .filter(F.col("lrn") <= F.col("k"))
+                .select(
+                    F.col("parent_url"),
+                    F.col("child").alias("child_url"),
+                    (F.col("lrn") - 1).alias("link_rank"),
+                    F.lit(wave).alias("wave"),
+                )
+            )
+            links_rel = self.store.stage_write(links_df, "links", wave)
+
+            new_pending = _dense_rank_sorted(
+                accepted.select(
+                    F.col("child").alias("url"),
+                    (F.col("parent_depth") + 1).alias("depth"),
+                    F.col("parent_rank"),
+                    F.col("link_pos"),
+                ),
+                ["parent_rank", "link_pos"],
+                "rank",
+                next_rank,
+            ).select("url", "depth", "rank")
+            n_accepted = new_pending.count()
+            next_rank += n_accepted
+        else:
+            new_pending = self.spark.createDataFrame([], PENDING_SCHEMA)
+            n_accepted = 0
+
+        # --- visited set additions: everything polled before the stop
+        polled = cand if stop_rank is None else cand.filter(F.col("rank") <= stop_rank)
+        seen_add = polled.select("url_hash", F.col("norm").alias("url")).distinct()
+        if seen is not None:
+            seen_add = seen_add.join(seen.select("url_hash"), "url_hash", "left_anti")
+
+        # --- leftover pending (unpolled due to budget stop) + politeness deferrals
+        leftovers = []
+        if stop_rank is not None:
+            leftovers.append(wave_cand.filter(F.col("rank") > stop_rank))
+        if deferred is not None:
+            leftovers.append(deferred.select(F.col("norm").alias("url"), "depth", "rank"))
+        if rest_pending is not None:
+            leftovers.append(rest_pending)
+        pending_next = new_pending
+        for extra in leftovers:
+            pending_next = pending_next.unionByName(extra)
+
+        # --- C12/C13: stage everything, then one atomic snapshot commit
+        images_df = committed.select(
+            self._imgid("url").alias("image_id"),
+            "url", "depth", "rank", "title", "description", "content_hash",
+            "bytes", "w", "h", "fmt", "caption", "phash",
+            F.lit(wave).alias("wave"),
+        )
+        appends: dict[str, list[str]] = {}
+        appends["images"] = [self.store.stage_write(images_df, "images", wave)]
+        if links_rel is not None:
+            appends["links"] = [links_rel]
+        appends["seen"] = [self.store.stage_write(seen_add, "seen", wave)]
+        appends["seen_hashes"] = [
+            self.store.stage_write(committed.select("content_hash"), "seen_hashes", wave)
+        ]
+        metrics_row = {
+            "wave": wave,
+            "depth": int(min_depth),
+            "candidates": int(n_pending_total),
+            "committed": int(n_committed),
+            "children_accepted": int(n_accepted),
+            "secs": float(time.time() - t0),
+        }
+        metrics_df = self.spark.createDataFrame([metrics_row])
+        appends["metrics"] = [self.store.stage_write(metrics_df, "metrics", wave)]
+
+        replaces = {
+            "pending": [self.store.stage_write(pending_next, "pending", wave + 1)],
+            "robots": [self.store.stage_write(robots_cached, "robots", wave + 1)],
+        }
+        new_state = {
+            "wave": wave + 1,
+            "committed": committed_total + n_committed,
+            "next_rank": int(next_rank),
+            "stopped_by_budget": stop_rank is not None,
+        }
+        self.store.commit(appends=appends, replaces=replaces, state=new_state)
+        fetched.unpersist()
+        committed.unpersist()
+        robots_cached.unpersist()
+        return {"done": False, **new_state, **metrics_row}
+
+    def _imgid(self, col: str):
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(T.StringType())
+        def imgid(urls: pd.Series) -> pd.Series:
+            return urls.map(sha256_b64url)  # HtmlSaver names files sha256(url)
+
+        return imgid(col)
+
+    def _apply_queue_cap_exact(self, wave_cand, n_pending_total, committed, children) -> DataFrame:
+        """Exact sequential replay of offer()'s queue-size cap (rare path).
+
+        Only runs when pending+children could exceed queue_cap; replays the
+        FIFO event order on the driver (bounded by the cap itself: <=50k rows
+        of state) and returns the accepted child rows.
+        """
+        import pandas as pdlib
+
+        cap = self.cfg.queue_cap
+        # Every pending entry occupies a queue slot, including URLs that fail
+        # normalization (they are polled and discarded); replay over the full
+        # wave in rank order.
+        cand_rows = wave_cand.select("rank").orderBy("rank").toPandas()
+        commit_ranks = set(
+            r.rank for r in committed.select("rank").collect()
+        )
+        child_pdf = children.select(
+            "parent_rank", "link_pos", "child", "parent_url", "parent_depth"
+        ).orderBy("parent_rank", "link_pos").toPandas()
+        by_parent: dict[int, list] = {}
+        for row in child_pdf.itertuples():
+            by_parent.setdefault(row.parent_rank, []).append(row)
+        queue_size = int(n_pending_total)
+        accepted_keys = []
+        for parent_rank in cand_rows["rank"]:
+            queue_size -= 1  # poll
+            if parent_rank in commit_ranks:
+                for row in by_parent.get(parent_rank, []):
+                    if queue_size < cap:
+                        accepted_keys.append((row.parent_rank, row.link_pos))
+                        queue_size += 1
+        keep = pdlib.DataFrame(accepted_keys, columns=["parent_rank", "link_pos"])
+        keep_df = self.spark.createDataFrame(keep, "parent_rank long, link_pos int")
+        return children.join(keep_df, ["parent_rank", "link_pos"], "left_semi")
+
+    # ---------------------------------------------------------------- driving
+    def run(self, seeds: list[str] | None = None, max_waves: int = 100) -> dict:
+        """Run (or resume) the crawl to completion. C13: resume = read the
+        latest snapshot; pending rows re-form the next wave."""
+        if seeds is not None:
+            self.seed(seeds)
+        last: dict = {}
+        for _ in range(max_waves):
+            last = self.run_wave()
+            if last.get("done") or last.get("stopped_by_budget"):
+                break
+        return last

@@ -1,0 +1,126 @@
+"""Image payload codec + perceptual hashing (graft payload: image+caption).
+
+The container has no image libraries (no PIL/opencv), so the engine ships a
+minimal-but-real PNG codec (stdlib zlib, filter type 0) plus raw-RGB
+containers. The Spark-side plumbing — binary columns, Arrow batch decode,
+PSNR/phash checks — is the real thing; swapping in a JPEG library later only
+changes these two functions.
+
+Payload invariant (BASELINE.json input_hint): decoded-pixel PSNR >= 40 dB
+(infinite for our lossless codec) + exact caption equality.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode an HxWx3 uint8 array as a valid RGB8 PNG (filter 0 rows)."""
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("expected HxWx3 uint8 array")
+    h, w, _ = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, color type 2 (RGB)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode PNGs produced by :func:`encode_png` (RGB8, filter 0)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            if depth != 8 or ctype != 2:
+                raise NotImplementedError("codec supports RGB8/filter-0 only")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = w * 3 + 1
+    rows = []
+    for y in range(h):
+        row = raw[y * stride : (y + 1) * stride]
+        if row[0] != 0:
+            raise NotImplementedError("codec supports filter type 0 only")
+        rows.append(np.frombuffer(row[1:], dtype=np.uint8))
+    return np.stack(rows).reshape(h, w, 3)
+
+
+def encode_raw(arr: np.ndarray) -> bytes:
+    """Headerful raw-RGB container: 'RAW0' + H + W + pixels."""
+    h, w, _ = arr.shape
+    return b"RAW0" + struct.pack(">II", h, w) + arr.tobytes()
+
+
+def decode_raw(data: bytes) -> np.ndarray:
+    if data[:4] != b"RAW0":
+        raise ValueError("not a RAW0 payload")
+    h, w = struct.unpack(">II", data[4:12])
+    return np.frombuffer(data[12:], dtype=np.uint8).reshape(h, w, 3)
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return decode_png(data)
+    if fmt == "raw":
+        return decode_raw(data)
+    # Real decoders (jpeg/webp) need libs absent from this container.
+    raise NotImplementedError(f"unsupported payload format: {fmt}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    if a.shape != b.shape:
+        raise ValueError("shape mismatch")
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def phash64(arr: np.ndarray) -> int:
+    """Average-hash: 8x8 block-mean of the grayscale image, thresholded by
+    its mean -> 64-bit signed int (fits the input_hint's phash:int64)."""
+    gray = arr.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = np.linspace(0, h, 9).astype(int)
+    xs = np.linspace(0, w, 9).astype(int)
+    blocks = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            blocks[i, j] = gray[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+    bits = (blocks > blocks.mean()).flatten()
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    # two's-complement into signed int64
+    return val - (1 << 64) if val >= (1 << 63) else val

@@ -110,6 +110,23 @@ def resolve_url(base: str | None, relative: str | None) -> str | None:
     return resolved
 
 
+def canonicalize_href(base_url: str, href: str) -> str | None:
+    """Child-link canonicalization as the reference does it:
+    Jsoup ``absUrl("href")`` (resolve against the page URL) followed by
+    ``UrlNormalizer.normalize`` and the isAbsolute gate (CrawlTask.java:132-137).
+    Returns the normalized absolute child URL, or None if rejected."""
+    if _ABSOLUTE_RE.search(href):
+        resolved = href
+    else:
+        resolved = resolve_url(base_url, href)
+        if resolved is None:
+            return None
+    child = normalize_url(resolved)
+    if child is None or not is_absolute(child):
+        return None
+    return child
+
+
 def _normalize_series(urls: pd.Series) -> pd.Series:
     return urls.map(normalize_url)
 

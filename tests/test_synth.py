@@ -1,0 +1,56 @@
+"""Determinism + shape of the synthetic web."""
+
+from __future__ import annotations
+
+from sher_look_spark.crawler import synth
+from sher_look_spark.functions.urls import normalize_url
+
+CFG = synth.SynthWebConfig(n_hosts=6, pages_per_host=10, seed=99)
+
+
+def test_fetch_is_pure():
+    url = synth.page_url(CFG, 2, 3)
+    a = synth.fetch(CFG, url)
+    b = synth.fetch(CFG, url)
+    assert a == b
+    assert a.status in ("ok", "timeout")
+
+
+def test_unknown_url_is_notfound():
+    assert synth.fetch(CFG, "http://host0002.test/relative/path").status == "notfound"
+    assert synth.fetch(CFG, "http://elsewhere.example/x").status == "notfound"
+
+
+def test_duplicate_content_pages_share_html_and_image():
+    cfg = synth.SynthWebConfig(n_hosts=3, pages_per_host=15, seed=5, dup_every=7, timeout_pct=0)
+    orig = synth.fetch(cfg, synth.page_url(cfg, 1, 6))
+    dup = synth.fetch(cfg, synth.page_url(cfg, 1, 7))
+    assert dup.html == orig.html
+    assert dup.image == orig.image and dup.caption == orig.caption
+
+
+def test_messy_links_normalize_to_canonical_pages():
+    res = synth.fetch(CFG, synth.page_url(CFG, 0, 0))
+    assert res.status == "ok" and len(res.links) >= CFG.min_links
+    normd = [normalize_url(h) for h in res.links]
+    for raw, n in zip(res.links, normd):
+        if n is not None and synth.parse_page_url(CFG, n):
+            assert n.startswith("http://host") and "/page/" in n
+
+
+def test_robots_bodies_parse():
+    from sher_look_spark.functions.robots import parse_robots_txt
+
+    with_rules = [i for i in range(CFG.n_hosts) if synth.robots_txt(CFG, i)]
+    assert with_rules, "some hosts must publish robots.txt"
+    for i in with_rules:
+        allow, disallow = parse_robots_txt(synth.robots_txt(CFG, i))
+        assert disallow, "synthetic robots must contain disallow rules"
+
+
+def test_seed_urls_shape():
+    seeds = synth.seed_urls(CFG, 5)
+    assert len(seeds) == 5
+    assert all(normalize_url(s) for s in seeds)
+    # last seed is a messy duplicate of seed 0
+    assert normalize_url(seeds[-1]) == normalize_url(seeds[0])
