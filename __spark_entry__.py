@@ -1,38 +1,56 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship search-ranking pipeline (tokenize -> IDF -> TF-IDF ->
+               top-k with snippets) over sf0.001.
+queries()    — one entry per implemented operator from SURVEY.md §2 plus the
+               training-data operator family (see sher_look_spark/queries.py).
+oracle_sql() — equivalent DuckDB SQL per query (omitted only for genuinely
+               non-SQL-expressible ops: PageRank iteration, xxhash64-based
+               MinHash/SimHash/LSH — those get rows-only checks).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: rank documents for a keyword
+    query by TF-IDF and attach hit snippets."""
+    from pyspark.sql import functions as F
+
+    from sher_look_spark.operators.indexer import document_sizes, idf_table
+    from sher_look_spark.operators.ranking import snippets, tfidf_scores
+    from sher_look_spark.queries import QUERY_TERMS, _spark_tokens, load
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load(spark, sf_dir, "documents")
+    toks = _spark_tokens(spark, sf_dir).withColumn("section", F.lit("body"))
+    sizes = document_sizes(toks)
+    idf = idf_table(toks, n_docs=docs.count())
+    scores = tfidf_scores(toks, sizes, idf, QUERY_TERMS)
+    snips = snippets(toks, QUERY_TERMS, window=15)
+    return (
+        scores.join(snips, "doc_id", "left")
+        .orderBy(F.desc("tfidf"), "doc_id")
+        .limit(10)
+        .select("doc_id", F.round("tfidf", 6).alias("tfidf"), "snippet")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from sher_look_spark.queries import queries as _queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sher_look_spark.queries import oracle_sql as _oracle_sql
+
+    return _oracle_sql()

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "crawl": {...}}
+
+--scaling mode (north-rule evidence, no real cluster in the sandbox): run the
+IDENTICAL synthetic crawl at two parallelism levels (local[8] vs local[32],
+shuffle partitions scaled with cores) and report throughput at both plus
+scaling efficiency = (T32/T8)/4 — results also summarized in BENCH_SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "rel_pricing_summary",
+    "rel_region_revenue",
+    "rel_running_window",
+    "c3_url_normalize",
+    "c9_content_dedup",
+    "c11_topk_children",
+    "i4_tokenize_positions",
+    "i11_idf",
+    "q4_tfidf",
+    "q8_pagerank",
+    "q11_snippets",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_cosine",
+    "text_fingerprint",
+    "text_quality",
+]
+
+
+def _spark(cpus: int, app: str):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from sher_look_spark.session import get_spark
+
+    return get_spark(app, master=f"local[{cpus}]", shuffle_partitions=max(2 * cpus, 8))
+
+
+def run_queries() -> dict:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _spark(cpus, "sher-look-bench")
+    from sher_look_spark.queries import queries
+
+    qs = queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        # warm the input cache path once, then time the full pipeline execution
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    crawl = crawl_throughput(spark, committed_target=2000)
+    spark.stop()
+    sf = 0.1 if "0.1" in sf_dir else sf_dir
+    return {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "crawl": crawl,
+    }
+
+
+def crawl_throughput(spark, committed_target: int = 2000, seed: int = 4242) -> dict:
+    """URLs fetched+committed/sec on the deterministic synthetic web."""
+    import shutil
+    import tempfile
+
+    from sher_look_spark.crawler import synth
+    from sher_look_spark.crawler.engine import CrawlConfig, CrawlEngine
+
+    web = synth.SynthWebConfig(
+        n_hosts=200, pages_per_host=200, seed=seed,
+        min_links=8, max_links=20, img_min=6, img_max=12,
+    )
+    seeds = synth.seed_urls(web, 200)
+    state = tempfile.mkdtemp(prefix="crawlbench-")
+    eng = CrawlEngine(spark, state, CrawlConfig(max_pages=committed_target, max_depth=3, web=web))
+    t0 = time.time()
+    out = eng.run(seeds)
+    secs = time.time() - t0
+    shutil.rmtree(state, ignore_errors=True)
+    return {
+        "committed": out.get("committed", 0),
+        "waves": out.get("wave", 0),
+        "secs": round(secs, 3),
+        "urls_per_sec": round(out.get("committed", 0) / secs, 2),
+    }
+
+
+def run_scaling(committed_target: int = 20000) -> dict:
+    results = {}
+    for cpus in (8, 32):
+        spark = _spark(cpus, f"crawl-scaling-{cpus}")
+        results[cpus] = crawl_throughput(spark, committed_target)
+        spark.stop()
+        print(f"  local[{cpus}]: {results[cpus]}", file=sys.stderr)
+    eff = (results[32]["urls_per_sec"] / results[8]["urls_per_sec"]) / 4.0
+    return {
+        "metric": "crawl_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_cores": {"8": results[8], "32": results[32]},
+        "target": ">=0.8",
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_queries()))

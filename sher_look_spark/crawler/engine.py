@@ -216,11 +216,15 @@ class CrawlEngine:
         pending = self.store.read(self.spark, "pending")
         if pending is None or budget <= 0:
             return {"done": True, **state}
-        n_pending_total = pending.count()
+        pending = pending.persist()
+        stats = pending.agg(
+            F.count(F.lit(1)).alias("n"), F.min("depth").alias("min_depth")
+        ).collect()[0]
+        n_pending_total, min_depth = stats.n, stats.min_depth
         if n_pending_total == 0:
+            pending.unpersist()
             return {"done": True, **state}
-
-        min_depth = pending.agg(F.min("depth")).collect()[0][0]
+        n_wave = pending.filter(F.col("depth") == min_depth).count()
         wave_cand = pending.filter(F.col("depth") == min_depth)
         rest_pending = pending.filter(F.col("depth") != min_depth)
 
@@ -273,14 +277,16 @@ class CrawlEngine:
         w_hash = Window.partitionBy("content_hash").orderBy("rank")
         survivors = ok.withColumn("hrn", F.row_number().over(w_hash)).filter(F.col("hrn") == 1).drop("hrn")
 
-        # --- C2: max-pages budget — cut at the FIFO stop rank
-        n_survivors = survivors.count()
+        # --- C2: max-pages budget — cut at the FIFO stop rank. The count is
+        # skipped entirely when the budget cannot bind (survivors <= wave size).
         stop_rank = None
-        if n_survivors > budget:
-            stop_rank = (
-                survivors.orderBy("rank").limit(budget).agg(F.max("rank")).collect()[0][0]
-            )
-            survivors = survivors.filter(F.col("rank") <= stop_rank)
+        if n_wave > budget:
+            n_survivors = survivors.count()
+            if n_survivors > budget:
+                stop_rank = (
+                    survivors.orderBy("rank").limit(budget).agg(F.max("rank")).collect()[0][0]
+                )
+                survivors = survivors.filter(F.col("rank") <= stop_rank)
         committed = survivors.persist()
         n_committed = committed.count()
 
@@ -403,7 +409,7 @@ class CrawlEngine:
             "wave": wave,
             "depth": int(min_depth),
             "candidates": int(n_pending_total),
-            "committed": int(n_committed),
+            "wave_committed": int(n_committed),
             "children_accepted": int(n_accepted),
             "secs": float(time.time() - t0),
         }
@@ -421,10 +427,11 @@ class CrawlEngine:
             "stopped_by_budget": stop_rank is not None,
         }
         self.store.commit(appends=appends, replaces=replaces, state=new_state)
+        pending.unpersist()
         fetched.unpersist()
         committed.unpersist()
         robots_cached.unpersist()
-        return {"done": False, **new_state, **metrics_row}
+        return {"done": False, **metrics_row, **new_state}
 
     def _imgid(self, col: str):
         from pyspark.sql.functions import pandas_udf
