@@ -116,42 +116,71 @@ def _make_fetch_mapper(web: synth.SynthWebConfig):
     is where HTTP + image decode happens, batched per partition.
     """
 
+    CHUNK = 512  # keep output pandas frames ~10-20 MB even with KB-scale payloads
+
     def mapper(batches):
-        for pdf in batches:
-            out = {k: [] for k in FETCH_SCHEMA.fieldNames()}
-            for url, depth, rank in zip(pdf["url"], pdf["depth"], pdf["rank"]):
-                r = synth.fetch(web, url)
-                out["url"].append(url)
-                out["depth"].append(int(depth))
-                out["rank"].append(int(rank))
-                out["status"].append(r.status)
-                out["title"].append(r.title)
-                out["description"].append(r.description)
-                out["content_hash"].append(sha256_b64url(r.html) if r.html is not None else None)
-                out["links"].append(r.links)
-                out["bytes"].append(r.image)
-                out["w"].append(r.w)
-                out["h"].append(r.h)
-                out["fmt"].append(r.fmt)
-                out["caption"].append(r.caption)
-                out["phash"].append(r.phash)
-            # int columns with Nones must be nullable Int64 — the pandas
-            # default (float64) silently destroys the low bits of phash
-            for col in ("w", "h", "phash"):
-                out[col] = pd.array(out[col], dtype="Int64")
-            yield pd.DataFrame(out)
+        for big in batches:
+            for start in range(0, len(big), CHUNK):
+                pdf = big.iloc[start : start + CHUNK]
+                out = {k: [] for k in FETCH_SCHEMA.fieldNames()}
+                for url, depth, rank in zip(pdf["url"], pdf["depth"], pdf["rank"]):
+                    r = synth.fetch(web, url)
+                    out["url"].append(url)
+                    out["depth"].append(int(depth))
+                    out["rank"].append(int(rank))
+                    out["status"].append(r.status)
+                    out["title"].append(r.title)
+                    out["description"].append(r.description)
+                    out["content_hash"].append(sha256_b64url(r.html) if r.html is not None else None)
+                    out["links"].append(r.links)
+                    out["bytes"].append(r.image)
+                    out["w"].append(r.w)
+                    out["h"].append(r.h)
+                    out["fmt"].append(r.fmt)
+                    out["caption"].append(r.caption)
+                    out["phash"].append(r.phash)
+                # int columns with Nones must be nullable Int64 — the pandas
+                # default (float64) silently destroys the low bits of phash
+                for col in ("w", "h", "phash"):
+                    out[col] = pd.array(out[col], dtype="Int64")
+                yield pd.DataFrame(out)
 
     return mapper
 
 
 def _dense_rank_sorted(df: DataFrame, sort_cols: list, out_col: str, offset: int) -> DataFrame:
-    """Dense 0..n-1 ranks in sort order WITHOUT a single-partition window:
-    distributed sort + zipWithIndex (two-pass, scale-safe)."""
+    """Dense offset..offset+n-1 ranks in global sort order, JVM-only and
+    scale-safe: range-repartition on the sort keys (partition i < partition
+    i+1), per-partition row_number, plus collected per-partition offsets.
+    No single-reducer window, no Python row serialization."""
+    from pyspark.sql import Window
+
     spark = df.sparkSession
-    sdf = df.sortWithinPartitions(*sort_cols).sort(*sort_cols)
-    schema = sdf.schema.add(out_col, T.LongType())
-    rdd = sdf.rdd.zipWithIndex().map(lambda t: (*t[0], t[1] + offset))
-    return spark.createDataFrame(rdd, schema)
+    nparts = max(spark.sparkContext.defaultParallelism, 2)
+    sdf = (
+        df.repartitionByRange(nparts, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r._pid: r.n for r in sdf.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    base = offset
+    offsets = {}
+    for pid in sorted(counts):
+        offsets[pid] = base
+        base += counts[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(*sort_cols)
+    out = (
+        sdf.join(off_df, "_pid")
+        .withColumn(out_col, F.row_number().over(w) - 1 + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+    return out, sdf  # caller unpersists sdf after materializing out
 
 
 class CrawlEngine:
@@ -217,25 +246,28 @@ class CrawlEngine:
         if pending is None or budget <= 0:
             return {"done": True, **state}
         pending = pending.persist()
-        stats = pending.agg(
-            F.count(F.lit(1)).alias("n"), F.min("depth").alias("min_depth")
-        ).collect()[0]
-        n_pending_total, min_depth = stats.n, stats.min_depth
+        depth_counts = {
+            r.depth: r.n
+            for r in pending.groupBy("depth").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        n_pending_total = sum(depth_counts.values())
         if n_pending_total == 0:
             pending.unpersist()
             return {"done": True, **state}
-        n_wave = pending.filter(F.col("depth") == min_depth).count()
+        min_depth = min(depth_counts)
+        n_wave = depth_counts[min_depth]
         wave_cand = pending.filter(F.col("depth") == min_depth)
         rest_pending = pending.filter(F.col("depth") != min_depth)
 
-        # --- C3: canonicalize; invalid URLs are polled but never visited
+        # --- C3: canonicalize; invalid URLs are polled but never visited.
+        # Persisted: feeds both the fetch chain and the seen-set append.
         cand = (
             wave_cand.withColumn("norm", self._norm("url"))
             .filter(F.col("norm").isNotNull())
             .withColumn("url_hash", self._uh("norm"))
             .withColumn("host", F.parse_url("norm", F.lit("HOST")))
             .withColumn("path", F.coalesce(F.parse_url("norm", F.lit("PATH")), F.lit("")))
-        )
+        ).persist()
 
         # --- C4: within-wave first-rank-wins + anti-join the URL-seen set
         w_url = Window.partitionBy("url_hash").orderBy("rank")
@@ -288,7 +320,11 @@ class CrawlEngine:
                 )
                 survivors = survivors.filter(F.col("rank") <= stop_rank)
         committed = survivors.persist()
-        n_committed = committed.count()
+        cstats = committed.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.size("links")), F.lit(0)).alias("raw_links"),
+        ).collect()[0]
+        n_committed, n_raw_links = cstats.n, cstats.raw_links
 
         # --- C10/C11: children of committed parents
         next_rank = state["next_rank"]
@@ -319,11 +355,10 @@ class CrawlEngine:
                 children = children.join(pend_pairs, "child", "left_anti")
             children = children.persist()
 
-            n_children = children.count()
             # queue cap (PersistentQueue.java:22,97): accept-all fast path when
-            # the cap cannot bind; exact sequential replay otherwise.
-            leftover_est = n_pending_total  # upper bound of queue occupancy
-            if leftover_est + n_children > self.cfg.queue_cap:
+            # the cap cannot bind (raw link count bounds accepted children);
+            # exact sequential replay otherwise.
+            if n_pending_total + n_raw_links > self.cfg.queue_cap:
                 accepted = self._apply_queue_cap_exact(
                     wave_cand, n_pending_total, committed, children
                 )
@@ -355,7 +390,7 @@ class CrawlEngine:
             )
             links_rel = self.store.stage_write(links_df, "links", wave)
 
-            new_pending = _dense_rank_sorted(
+            new_pending, _rank_tmp = _dense_rank_sorted(
                 accepted.select(
                     F.col("child").alias("url"),
                     (F.col("parent_depth") + 1).alias("depth"),
@@ -365,11 +400,13 @@ class CrawlEngine:
                 ["parent_rank", "link_pos"],
                 "rank",
                 next_rank,
-            ).select("url", "depth", "rank")
+            )
+            new_pending = new_pending.select("url", "depth", "rank")
             n_accepted = new_pending.count()
             next_rank += n_accepted
         else:
             new_pending = self.spark.createDataFrame([], PENDING_SCHEMA)
+            _rank_tmp = None
             n_accepted = 0
 
         # --- visited set additions: everything polled before the stop
@@ -428,9 +465,14 @@ class CrawlEngine:
         }
         self.store.commit(appends=appends, replaces=replaces, state=new_state)
         pending.unpersist()
+        cand.unpersist()
         fetched.unpersist()
         committed.unpersist()
         robots_cached.unpersist()
+        if accepted is not None:
+            accepted.unpersist()
+        if _rank_tmp is not None:
+            _rank_tmp.unpersist()
         return {"done": False, **metrics_row, **new_state}
 
     def _imgid(self, col: str):

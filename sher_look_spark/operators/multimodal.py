@@ -1,0 +1,170 @@
+"""Multimodal binary-column operators (image / audio / video payloads).
+
+Images/audio/video ride as opaque `binary` columns with typed metadata
+(w, h, fmt, ...) — the `input_hint` table shape. Compute happens in
+Arrow-batched `mapInPandas` over numpy arrays: decode, resize, per-channel
+feature extraction, video frame sampling.
+
+Real vs stubbed (this container has no image/audio codecs):
+  * png / raw containers: REAL decode/encode (crawler/imaging.py)
+  * fake video container 'vid0' (concatenated raw frames): REAL plumbing,
+    deterministic content — stands in for mp4 until a codec lib exists
+  * jpeg/webp/mp3/mp4: dispatch exists, decode raises NotImplementedError
+    (clearly-marked stub; schema, partitioning, UDF signature and batch
+    shape are the real thing)
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sher_look_spark.crawler.imaging import decode_image, encode_png, encode_raw, phash64
+
+# ------------------------------------------------------------- fake video
+
+def encode_vid0(frames: list[np.ndarray]) -> bytes:
+    """'VID0' container: frame count + RAW0 frames (deterministic fake mp4)."""
+    blobs = [encode_raw(f) for f in frames]
+    out = b"VID0" + struct.pack(">I", len(blobs))
+    for b in blobs:
+        out += struct.pack(">I", len(b)) + b
+    return out
+
+
+def decode_vid0(data: bytes) -> list[np.ndarray]:
+    from sher_look_spark.crawler.imaging import decode_raw
+
+    if data[:4] != b"VID0":
+        raise ValueError("not a VID0 payload")
+    (n,) = struct.unpack(">I", data[4:8])
+    pos = 8
+    frames = []
+    for _ in range(n):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        frames.append(decode_raw(data[pos + 4 : pos + 4 + ln]))
+        pos += 4 + ln
+    return frames
+
+
+def _decode_any(data: bytes, fmt: str) -> np.ndarray:
+    if fmt in ("png", "raw"):
+        return decode_image(bytes(data), fmt)
+    # STUB: real codecs unavailable in this container
+    raise NotImplementedError(f"decode for fmt={fmt!r} requires a codec library")
+
+
+def _resize_nn(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    h, w, _ = arr.shape
+    ys = (np.arange(out_h) * (h / out_h)).astype(int).clip(0, h - 1)
+    xs = (np.arange(out_w) * (w / out_w)).astype(int).clip(0, w - 1)
+    return arr[ys][:, xs]
+
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("std_gray", T.DoubleType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def image_features(df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes",
+                   fmt_col: str = "fmt") -> DataFrame:
+    """Decode + per-channel stats + phash, one Arrow batch at a time."""
+
+    def mapper(batches):
+        for pdf in batches:
+            rows = {f: [] for f in IMAGE_FEATURES_SCHEMA.fieldNames()}
+            for iid, data, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
+                arr = _decode_any(data, fmt)
+                gray = arr.astype(np.float64).mean(axis=2)
+                rows["image_id"].append(iid)
+                rows["w"].append(arr.shape[1])
+                rows["h"].append(arr.shape[0])
+                rows["mean_r"].append(round(float(arr[:, :, 0].mean()), 4))
+                rows["mean_g"].append(round(float(arr[:, :, 1].mean()), 4))
+                rows["mean_b"].append(round(float(arr[:, :, 2].mean()), 4))
+                rows["std_gray"].append(round(float(gray.std()), 4))
+                rows["phash"].append(phash64(arr))
+            rows["phash"] = pd.array(rows["phash"], dtype="Int64")
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bytes_col, fmt_col).mapInPandas(mapper, IMAGE_FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int, id_col: str = "image_id",
+                  bytes_col: str = "bytes", fmt_col: str = "fmt") -> DataFrame:
+    """Nearest-neighbor resize; output re-encoded as PNG (lossless)."""
+
+    def mapper(batches):
+        for pdf in batches:
+            rows = {f: [] for f in RESIZE_SCHEMA.fieldNames()}
+            for iid, data, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
+                arr = _resize_nn(_decode_any(data, fmt), out_w, out_h)
+                rows["image_id"].append(iid)
+                rows["bytes"].append(encode_png(arr))
+                rows["w"].append(out_w)
+                rows["h"].append(out_h)
+                rows["fmt"].append("png")
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bytes_col, fmt_col).mapInPandas(mapper, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every: int = 2, id_col: str = "video_id",
+                  bytes_col: str = "bytes", fmt_col: str = "fmt") -> DataFrame:
+    """Every k-th frame of each video as a PNG row (1 video -> N frame rows)."""
+
+    def mapper(batches):
+        for pdf in batches:
+            rows = {f: [] for f in FRAME_SCHEMA.fieldNames()}
+            for vid, data, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
+                if fmt != "vid0":
+                    raise NotImplementedError(f"frame sampling for fmt={fmt!r} needs a codec")
+                for i, frame in enumerate(decode_vid0(bytes(data))):
+                    if i % every:
+                        continue
+                    rows["video_id"].append(vid)
+                    rows["frame_idx"].append(i)
+                    rows["bytes"].append(encode_png(frame))
+                    rows["w"].append(frame.shape[1])
+                    rows["h"].append(frame.shape[0])
+                    rows["fmt"].append("png")
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bytes_col, fmt_col).mapInPandas(mapper, FRAME_SCHEMA)

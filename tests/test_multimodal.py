@@ -1,0 +1,73 @@
+"""Multimodal binary-column operators over Spark (decode/resize/frames)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sher_look_spark.crawler.imaging import decode_png, encode_png, phash64
+from sher_look_spark.operators.multimodal import encode_vid0
+
+
+def _img(seed, h=20, w=30):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@pytest.fixture(scope="module")
+def images_df(spark):
+    rows = [(f"img{i}", encode_png(_img(i)), "png") for i in range(6)]
+    return spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+
+
+def test_image_features(spark, images_df):
+    from sher_look_spark.operators.multimodal import image_features
+
+    feats = {r.image_id: r for r in image_features(images_df).collect()}
+    assert len(feats) == 6
+    a0 = _img(0)
+    assert feats["img0"].w == 30 and feats["img0"].h == 20
+    assert feats["img0"].mean_r == pytest.approx(float(a0[:, :, 0].mean()), abs=1e-3)
+    assert feats["img0"].phash == phash64(a0)
+
+
+def test_resize_roundtrip(spark, images_df):
+    from sher_look_spark.operators.multimodal import resize_images
+
+    out = {r.image_id: r for r in resize_images(images_df, 8, 8).collect()}
+    arr = decode_png(bytes(out["img1"].bytes))
+    assert arr.shape == (8, 8, 3)
+    # nearest-neighbor: every output pixel exists in the source
+    src_pixels = {tuple(p) for p in _img(1).reshape(-1, 3)}
+    assert all(tuple(p) in src_pixels for p in arr.reshape(-1, 3))
+
+
+def test_frame_sampling(spark):
+    from sher_look_spark.operators.multimodal import sample_frames
+
+    frames = [_img(100 + i, 12, 12) for i in range(7)]
+    df = spark.createDataFrame(
+        [("vidA", encode_vid0(frames), "vid0")], "video_id string, bytes binary, fmt string"
+    )
+    out = sample_frames(df, every=2).orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in out] == [0, 2, 4, 6]
+    assert np.array_equal(decode_png(bytes(out[1].bytes)), frames[2])
+
+
+def test_unsupported_codec_is_clearly_stubbed(spark):
+    from sher_look_spark.operators.multimodal import image_features
+
+    df = spark.createDataFrame(
+        [("x", b"\xff\xd8\xff", "jpeg")], "image_id string, bytes binary, fmt string"
+    )
+    with pytest.raises(Exception) as exc:
+        image_features(df).collect()
+    assert "NotImplementedError" in str(exc.value) or "codec" in str(exc.value)
+
+
+def test_multimodal_plans_are_arrow(spark, images_df):
+    from sher_look_spark.operators.multimodal import image_features
+    from sher_look_spark.plans import plan_summary
+
+    s = plan_summary(image_features(images_df))
+    assert s["row_python"] == 0 and s["arrow_python"] >= 1
