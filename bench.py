@@ -136,8 +136,49 @@ def run_scaling(committed_target: int = 20000) -> dict:
     }
 
 
+def run_skew(n_urls: int = 60000) -> dict:
+    """Skew evidence: fetch-stage wall time, partitioned BY HOST (hot host
+    pins one task) vs salted round-robin (the engine's strategy)."""
+    from pyspark.sql import functions as F
+
+    from sher_look_spark.crawler import synth
+    from sher_look_spark.crawler.engine import FETCH_SCHEMA, _make_fetch_mapper
+
+    spark = _spark(32, "skew-bench")
+    web = synth.SynthWebConfig(
+        n_hosts=64, pages_per_host=2000, seed=99, hot_host_pct=90,
+        img_min=32, img_max=48,
+    )
+    # candidate mix heavily skewed to host 0 (what hot_host_pct produces)
+    rows = []
+    for i in range(n_urls):
+        host = 0 if i % 10 < 7 else (i % 63) + 1
+        rows.append((synth.page_url(web, host, i % 2000), 1, i))
+    cand = spark.createDataFrame(rows, "url string, depth int, rank long").persist()
+    cand.count()
+    out = {}
+    for label, part in (
+        ("by_host", [F.expr("parse_url(url, 'HOST')")]),
+        ("salted", [F.pmod(F.col("rank"), F.lit(64))]),
+    ):
+        t0 = time.time()
+        n = (
+            cand.repartition(64, *part)
+            .mapInPandas(_make_fetch_mapper(web), FETCH_SCHEMA)
+            .filter("status = 'ok'")
+            .count()
+        )
+        out[label] = {"secs": round(time.time() - t0, 2), "fetched_ok": n}
+    spark.stop()
+    out["speedup"] = round(out["by_host"]["secs"] / out["salted"]["secs"], 2)
+    return {"metric": "fetch_skew_salting_speedup", "value": out["speedup"],
+            "unit": "x", "detail": out}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--skew" in sys.argv:
+        print(json.dumps(run_skew()))
     else:
         print(json.dumps(run_queries()))

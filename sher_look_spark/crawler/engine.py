@@ -202,7 +202,12 @@ class CrawlEngine:
         rel = self.store.stage_write(df, "pending", 0)
         self.store.commit(
             replaces={"pending": [rel]},
-            state={"wave": 0, "committed": 0, "next_rank": len(seeds)},
+            state={
+                "wave": 0,
+                "committed": 0,
+                "next_rank": len(seeds),
+                "pending_depths": {"0": len(seeds)},
+            },
         )
 
     # ------------------------------------------------------------- robots (C5)
@@ -236,6 +241,13 @@ class CrawlEngine:
     # --------------------------------------------------------------- one wave
     def run_wave(self) -> dict:
         t0 = time.time()
+        _tprev = [t0]
+        phase_secs: dict[str, float] = {}
+
+        def _mark(name: str) -> None:
+            now = time.time()
+            phase_secs[name] = round(now - _tprev[0], 2)
+            _tprev[0] = now
         snap = self.store.latest()
         assert snap is not None, "seed() first"
         state = dict(snap.state)
@@ -246,10 +258,15 @@ class CrawlEngine:
         if pending is None or budget <= 0:
             return {"done": True, **state}
         pending = pending.persist()
-        depth_counts = {
-            r.depth: r.n
-            for r in pending.groupBy("depth").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
+        # depth histogram: carried in snapshot state (zero jobs); recomputed
+        # only when resuming from a pre-histogram snapshot
+        if "pending_depths" in state:
+            depth_counts = {int(k): v for k, v in state["pending_depths"].items() if v > 0}
+        else:
+            depth_counts = {
+                r.depth: r.n
+                for r in pending.groupBy("depth").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
         n_pending_total = sum(depth_counts.values())
         if n_pending_total == 0:
             pending.unpersist()
@@ -301,8 +318,12 @@ class CrawlEngine:
         fetch_in = allowed.withColumnRenamed("norm", "url").repartition(nparts, F.pmod(F.col("rank"), F.lit(nparts)))
         fetched = fetch_in.mapInPandas(_make_fetch_mapper(self.cfg.web), FETCH_SCHEMA).persist()
 
-        # --- C9: content dedup (cross-wave anti-join + within-wave window)
-        ok = fetched.filter(F.col("status") == "ok")
+        # --- C9: content dedup (cross-wave anti-join + within-wave window).
+        # Decisions run on a SLIM projection so payload bytes NEVER shuffle —
+        # the winning ranks come back to the cached `fetched` partitions via a
+        # broadcast semi-join (rank is unique within a wave).
+        slim = fetched.select("rank", "content_hash", "status", F.size("links").alias("n_links"))
+        ok = slim.filter(F.col("status") == "ok")
         seen_hashes = self.store.read(self.spark, "seen_hashes")
         if seen_hashes is not None:
             ok = ok.join(seen_hashes, "content_hash", "left_anti")
@@ -319,12 +340,17 @@ class CrawlEngine:
                     survivors.orderBy("rank").limit(budget).agg(F.max("rank")).collect()[0][0]
                 )
                 survivors = survivors.filter(F.col("rank") <= stop_rank)
-        committed = survivors.persist()
-        cstats = committed.agg(
+        committed_slim = survivors.persist()
+        _mark("plan")
+        cstats = committed_slim.agg(
             F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum(F.size("links")), F.lit(0)).alias("raw_links"),
+            F.coalesce(F.sum("n_links"), F.lit(0)).alias("raw_links"),
         ).collect()[0]
         n_committed, n_raw_links = cstats.n, cstats.raw_links
+        committed = fetched.join(
+            F.broadcast(committed_slim.select("rank")), "rank", "left_semi"
+        ).persist()
+        _mark("fetch_pipeline")
 
         # --- C10/C11: children of committed parents
         next_rank = state["next_rank"]
@@ -389,6 +415,7 @@ class CrawlEngine:
                 )
             )
             links_rel = self.store.stage_write(links_df, "links", wave)
+            _mark("children_links")
 
             new_pending, _rank_tmp = _dense_rank_sorted(
                 accepted.select(
@@ -403,6 +430,7 @@ class CrawlEngine:
             )
             new_pending = new_pending.select("url", "depth", "rank")
             n_accepted = new_pending.count()
+            _mark("child_rank")
             next_rank += n_accepted
         else:
             new_pending = self.spark.createDataFrame([], PENDING_SCHEMA)
@@ -415,12 +443,21 @@ class CrawlEngine:
         if seen is not None:
             seen_add = seen_add.join(seen.select("url_hash"), "url_hash", "left_anti")
 
-        # --- leftover pending (unpolled due to budget stop) + politeness deferrals
+        # --- leftover pending (unpolled due to budget stop) + politeness
+        # deferrals; depth histogram maintained incrementally so the next wave
+        # needs no counting job (slow-path counts only on the rare stop/defer)
+        next_depths: dict[int, int] = {d: n for d, n in depth_counts.items() if d != min_depth}
+        if n_accepted:
+            next_depths[min_depth + 1] = next_depths.get(min_depth + 1, 0) + n_accepted
         leftovers = []
         if stop_rank is not None:
-            leftovers.append(wave_cand.filter(F.col("rank") > stop_rank))
+            leftover_df = wave_cand.filter(F.col("rank") > stop_rank)
+            leftovers.append(leftover_df)
+            next_depths[min_depth] = leftover_df.count()
         if deferred is not None:
-            leftovers.append(deferred.select(F.col("norm").alias("url"), "depth", "rank"))
+            deferred_df = deferred.select(F.col("norm").alias("url"), "depth", "rank")
+            leftovers.append(deferred_df)
+            next_depths[min_depth] = next_depths.get(min_depth, 0) + deferred_df.count()
         if rest_pending is not None:
             leftovers.append(rest_pending)
         pending_next = new_pending
@@ -436,9 +473,11 @@ class CrawlEngine:
         )
         appends: dict[str, list[str]] = {}
         appends["images"] = [self.store.stage_write(images_df, "images", wave)]
+        _mark("images_write")
         if links_rel is not None:
             appends["links"] = [links_rel]
         appends["seen"] = [self.store.stage_write(seen_add, "seen", wave)]
+        _mark("seen_write")
         appends["seen_hashes"] = [
             self.store.stage_write(committed.select("content_hash"), "seen_hashes", wave)
         ]
@@ -449,6 +488,7 @@ class CrawlEngine:
             "wave_committed": int(n_committed),
             "children_accepted": int(n_accepted),
             "secs": float(time.time() - t0),
+            "phases": str(phase_secs),
         }
         metrics_df = self.spark.createDataFrame([metrics_row])
         appends["metrics"] = [self.store.stage_write(metrics_df, "metrics", wave)]
@@ -457,17 +497,20 @@ class CrawlEngine:
             "pending": [self.store.stage_write(pending_next, "pending", wave + 1)],
             "robots": [self.store.stage_write(robots_cached, "robots", wave + 1)],
         }
+        _mark("small_writes")
         new_state = {
             "wave": wave + 1,
             "committed": committed_total + n_committed,
             "next_rank": int(next_rank),
             "stopped_by_budget": stop_rank is not None,
+            "pending_depths": {str(d): int(n) for d, n in next_depths.items() if n > 0},
         }
         self.store.commit(appends=appends, replaces=replaces, state=new_state)
         pending.unpersist()
         cand.unpersist()
         fetched.unpersist()
         committed.unpersist()
+        committed_slim.unpersist()
         robots_cached.unpersist()
         if accepted is not None:
             accepted.unpersist()
