@@ -57,6 +57,7 @@ FETCH_SCHEMA = T.StructType(
         T.StructField("title", T.StringType()),
         T.StructField("description", T.StringType()),
         T.StructField("content_hash", T.StringType()),
+        T.StructField("html", T.StringType()),
         T.StructField("links", T.ArrayType(T.StringType())),
         T.StructField("bytes", T.BinaryType()),
         T.StructField("w", T.IntegerType()),
@@ -75,6 +76,7 @@ class CrawlConfig:
     queue_cap: int = 50_000          # PersistentQueue.java:22
     per_host_wave_cap: int | None = None  # politeness budget; None = fidelity mode
     fetch_partitions: int | None = None   # salt width for the fetch stage
+    store_html: bool = True               # keep page HTML (enables the index tier)
     web: synth.SynthWebConfig = field(default_factory=synth.SynthWebConfig)
 
 
@@ -132,6 +134,7 @@ def _make_fetch_mapper(web: synth.SynthWebConfig):
                     out["title"].append(r.title)
                     out["description"].append(r.description)
                     out["content_hash"].append(sha256_b64url(r.html) if r.html is not None else None)
+                    out["html"].append(r.html)
                     out["links"].append(r.links)
                     out["bytes"].append(r.image)
                     out["w"].append(r.w)
@@ -180,7 +183,7 @@ def _dense_rank_sorted(df: DataFrame, sort_cols: list, out_col: str, offset: int
         .withColumn(out_col, F.row_number().over(w) - 1 + F.col("_off"))
         .drop("_pid", "_off")
     )
-    return out, sdf  # caller unpersists sdf after materializing out
+    return out, sdf, base - offset  # (ranked df, persist handle, total rows)
 
 
 class CrawlEngine:
@@ -236,7 +239,8 @@ class CrawlEngine:
 
         schema = "host string, has_rules boolean, allow array<string>, disallow array<string>"
         fetched = new_hosts.mapInPandas(fetch_robots, schema)
-        return robots.unionByName(fetched) if robots is not None else fetched
+        combined = robots.unionByName(fetched) if robots is not None else fetched
+        return combined, fetched
 
     # --------------------------------------------------------------- one wave
     def run_wave(self) -> dict:
@@ -302,7 +306,7 @@ class CrawlEngine:
             winners = winners.filter(F.col("host_slot") <= self.cfg.per_host_wave_cap).drop("host_slot")
 
         # --- C5/C6: robots rules join + allow filter
-        robots = self._resolve_robots(winners)
+        robots, robots_new = self._resolve_robots(winners)
         robots_cached = robots.persist()
         joined = winners.join(F.broadcast(robots_cached), "host", "left")
         joined = joined.withColumn(
@@ -417,7 +421,7 @@ class CrawlEngine:
             links_rel = self.store.stage_write(links_df, "links", wave)
             _mark("children_links")
 
-            new_pending, _rank_tmp = _dense_rank_sorted(
+            new_pending, _rank_tmp, n_accepted = _dense_rank_sorted(
                 accepted.select(
                     F.col("child").alias("url"),
                     (F.col("parent_depth") + 1).alias("depth"),
@@ -429,7 +433,6 @@ class CrawlEngine:
                 next_rank,
             )
             new_pending = new_pending.select("url", "depth", "rank")
-            n_accepted = new_pending.count()
             _mark("child_rank")
             next_rank += n_accepted
         else:
@@ -473,6 +476,11 @@ class CrawlEngine:
         )
         appends: dict[str, list[str]] = {}
         appends["images"] = [self.store.stage_write(images_df, "images", wave)]
+        if self.cfg.store_html:
+            pages_df = committed.select(
+                "url", "depth", "rank", "html", F.lit(wave).alias("wave")
+            )
+            appends["pages"] = [self.store.stage_write(pages_df, "pages", wave)]
         _mark("images_write")
         if links_rel is not None:
             appends["links"] = [links_rel]
@@ -495,8 +503,8 @@ class CrawlEngine:
 
         replaces = {
             "pending": [self.store.stage_write(pending_next, "pending", wave + 1)],
-            "robots": [self.store.stage_write(robots_cached, "robots", wave + 1)],
         }
+        appends["robots"] = [self.store.stage_write(robots_new, "robots", wave)]
         _mark("small_writes")
         new_state = {
             "wave": wave + 1,

@@ -1,0 +1,86 @@
+"""HTML extraction goldens + end-to-end crawl -> index -> search pipeline."""
+
+from __future__ import annotations
+
+import pytest
+
+from sher_look_spark.functions.htmlparse import extract_fields
+
+
+def test_extract_title_and_description():
+    html = (
+        "<html><head><title>My Page</title>"
+        '<meta name="description" content="a meta description"></head>'
+        "<body><h1>Header One</h1><p>body text here</p></body></html>"
+    )
+    title, desc, sections = extract_fields(html)
+    assert title == "My Page"
+    assert desc == "a meta description"
+    assert sections[0] == ("title", "My Page")
+    assert ("header", "Header One") in sections
+    assert ("body", "body text here") in sections
+
+
+def test_title_falls_back_to_first_header():
+    title, desc, _ = extract_fields("<html><body><h2>Fallback Title</h2></body></html>")
+    assert title == "Fallback Title"
+
+
+def test_description_falls_back_to_first_p():
+    _, desc, _ = extract_fields("<html><body><p>first paragraph</p></body></html>")
+    assert desc == "first paragraph"
+
+
+def test_script_style_skipped_and_own_text_gate():
+    html = (
+        "<html><body><script>var x = 'nope';</script><style>.a{}</style>"
+        "<div><span>inner</span></div></body></html>"
+    )
+    _, _, sections = extract_fields(html)
+    texts = [t for _, t in sections]
+    assert "nope" not in " ".join(texts)
+    # div has no own text -> skipped; span contributes
+    assert ("body", "inner") in sections
+    assert all("var x" not in t for t in texts)
+
+
+def test_crawl_index_search_end_to_end(spark, tmp_path):
+    from sher_look_spark.crawler import synth
+    from sher_look_spark.crawler.engine import CrawlConfig, CrawlEngine
+    from sher_look_spark.crawler.storage import SnapshotStore
+    from sher_look_spark.operators.webindex import (
+        index_pages,
+        pagerank_from_links,
+        search_pages,
+    )
+
+    web = synth.SynthWebConfig(n_hosts=5, pages_per_host=8, seed=77, timeout_pct=0)
+    state = str(tmp_path / "e2e")
+    eng = CrawlEngine(spark, state, CrawlConfig(max_pages=40, max_depth=2, web=web))
+    eng.run(synth.seed_urls(web, 4))
+
+    store = SnapshotStore(state)
+    pages = store.read(spark, "pages")
+    assert pages is not None and pages.count() > 0
+
+    idx = index_pages(pages)
+    meta = idx["documents_meta"].collect()
+    assert all(r.title.startswith("Synthetic page") for r in meta)
+    # positions: title tokens come first for every doc
+    first_tok = (
+        idx["postings"].filter("position = 0").select("section").distinct().collect()
+    )
+    assert [r.section for r in first_tok] == ["title"]
+
+    pr = {r.id: r.rank for r in pagerank_from_links(spark, store).collect()}
+    assert pytest.approx(sum(pr.values()), abs=0.05) == 1.0
+
+    # search for a vocabulary word known to exist in the synthetic corpus
+    res = search_pages(spark, state, "frontier crawl", per_page=5).collect()
+    assert 0 < len(res) <= 5
+    assert all(r.final_score > 0 for r in res)
+    assert any(r.snippet and "<b>" in r.snippet for r in res)
+
+    # phrase mode end-to-end
+    res2 = search_pages(spark, state, '"synthetic page"', per_page=5).collect()
+    assert len(res2) > 0
