@@ -72,7 +72,7 @@ def run_queries() -> dict:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
-    crawl = crawl_throughput(spark, committed_target=2000)
+    crawl = crawl_throughput(spark, committed_target=20000)
     spark.stop()
     sf = 0.1 if "0.1" in sf_dir else sf_dir
     return {
