@@ -89,6 +89,39 @@ def index_pages(pages: DataFrame) -> dict[str, DataFrame]:
     return {"documents_meta": meta, "postings": postings, "doc_sizes": sizes, "idf": idf}
 
 
+def index_incremental(spark: SparkSession, store: SnapshotStore) -> dict[str, int]:
+    """I1: the reference's `index` run mode — index only documents whose
+    index_time is NULL (DatabaseHelper.java:122-135), i.e. pages not yet in
+    the store's `indexed` table. Appends postings/doc-metadata and records
+    index progress in the snapshot (idempotent across crashes: the manifest
+    commit is atomic)."""
+    pages = store.read(spark, "pages")
+    if pages is None:
+        return {"indexed": 0}
+    already = store.read(spark, "indexed")
+    todo = pages
+    if already is not None:
+        todo = pages.join(already.select("url"), "url", "left_anti")
+    todo = todo.persist()
+    n = todo.count()
+    if n == 0:
+        todo.unpersist()
+        return {"indexed": 0}
+    idx = index_pages(todo)
+    snap = store.latest()
+    wave = (snap.state.get("index_runs", 0) if snap else 0) + 1
+    appends = {
+        "postings": [store.stage_write(idx["postings"], "postings", wave)],
+        "documents_meta": [store.stage_write(idx["documents_meta"], "documents_meta", wave)],
+        "indexed": [store.stage_write(todo.select("url"), "indexed", wave)],
+    }
+    state = dict(snap.state) if snap else {}
+    state["index_runs"] = wave
+    store.commit(appends=appends, state=state)
+    todo.unpersist()
+    return {"indexed": n}
+
+
 def pagerank_from_links(spark: SparkSession, store: SnapshotStore) -> DataFrame:
     """(id=url_hash, rank) over the crawled link graph (both-ends-crawled edges)."""
     from pyspark.sql.functions import pandas_udf
