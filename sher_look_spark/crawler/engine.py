@@ -280,6 +280,22 @@ class CrawlEngine:
         wave_cand = pending.filter(F.col("depth") == min_depth)
         rest_pending = pending.filter(F.col("depth") != min_depth)
 
+        # Budget pre-trim: when the remaining page budget is far below the
+        # wave size, fetching the whole wave is wasted work — process only the
+        # first 2x-budget candidates (ranks are dense within a wave, so the
+        # cutoff needs no counting) and leave the contiguous suffix pending.
+        # If skips eat into the margin, the next wave continues at the same
+        # depth in exact FIFO order — correctness is order-based, not
+        # wave-boundary-based.
+        pre_trimmed = None
+        if n_wave > 2 * budget + 1:
+            wave_min_rank = wave_cand.agg(F.min("rank")).collect()[0][0]
+            cutoff = wave_min_rank + 2 * budget
+            pre_trimmed = wave_cand.filter(F.col("rank") >= cutoff)
+            wave_cand = wave_cand.filter(F.col("rank") < cutoff)
+            n_trimmed = n_wave - 2 * budget
+            n_wave = 2 * budget
+
         # --- C3: canonicalize; invalid URLs are polled but never visited.
         # Persisted: feeds both the fetch chain and the seen-set append.
         cand = (
@@ -381,7 +397,11 @@ class CrawlEngine:
                     deferred.select(F.col("norm").alias("url"), "depth", "rank")
                 )
             if others is not None:
-                pend_pairs = others.select(F.col("url").alias("child"))
+                # offer() dedups on (url, depth) PAIRS (PersistentQueue.java:17,97)
+                # — only pending entries at the children's depth collide
+                pend_pairs = others.filter(F.col("depth") == min_depth + 1).select(
+                    F.col("url").alias("child")
+                )
                 children = children.join(pend_pairs, "child", "left_anti")
             children = children.persist()
 
@@ -453,10 +473,13 @@ class CrawlEngine:
         if n_accepted:
             next_depths[min_depth + 1] = next_depths.get(min_depth + 1, 0) + n_accepted
         leftovers = []
+        if pre_trimmed is not None:
+            leftovers.append(pre_trimmed)
+            next_depths[min_depth] = next_depths.get(min_depth, 0) + n_trimmed
         if stop_rank is not None:
             leftover_df = wave_cand.filter(F.col("rank") > stop_rank)
             leftovers.append(leftover_df)
-            next_depths[min_depth] = leftover_df.count()
+            next_depths[min_depth] = next_depths.get(min_depth, 0) + leftover_df.count()
         if deferred is not None:
             deferred_df = deferred.select(F.col("norm").alias("url"), "depth", "rank")
             leftovers.append(deferred_df)
@@ -474,21 +497,42 @@ class CrawlEngine:
             "bytes", "w", "h", "fmt", "caption", "phash",
             F.lit(wave).alias("wave"),
         )
-        appends: dict[str, list[str]] = {}
-        appends["images"] = [self.store.stage_write(images_df, "images", wave)]
+        # All staged writes are independent — submit them concurrently (Spark
+        # schedules concurrent jobs fine); the snapshot commit below is the
+        # only serialization point. Cuts the per-wave serial constant by the
+        # sum of the smaller writes' wall times.
+        from concurrent.futures import ThreadPoolExecutor
+
+        write_jobs: dict[str, tuple] = {
+            "images": (images_df, "images", wave),
+            "seen": (seen_add, "seen", wave),
+            "seen_hashes": (committed_slim.select("content_hash"), "seen_hashes", wave),
+            "pending": (pending_next, "pending", wave + 1),
+            "robots": (robots_new, "robots", wave),
+        }
         if self.cfg.store_html:
-            pages_df = committed.select(
-                "url", "depth", "rank", "html", F.lit(wave).alias("wave")
+            write_jobs["pages"] = (
+                committed.select("url", "depth", "rank", "html", F.lit(wave).alias("wave")),
+                "pages",
+                wave,
             )
-            appends["pages"] = [self.store.stage_write(pages_df, "pages", wave)]
-        _mark("images_write")
+        with ThreadPoolExecutor(max_workers=len(write_jobs)) as pool:
+            futures = {
+                name: pool.submit(self.store.stage_write, df, table, w)
+                for name, (df, table, w) in write_jobs.items()
+            }
+            rels = {name: fut.result() for name, fut in futures.items()}
+        _mark("table_writes")
+        appends: dict[str, list[str]] = {
+            "images": [rels["images"]],
+            "seen": [rels["seen"]],
+            "seen_hashes": [rels["seen_hashes"]],
+            "robots": [rels["robots"]],
+        }
+        if self.cfg.store_html:
+            appends["pages"] = [rels["pages"]]
         if links_rel is not None:
             appends["links"] = [links_rel]
-        appends["seen"] = [self.store.stage_write(seen_add, "seen", wave)]
-        _mark("seen_write")
-        appends["seen_hashes"] = [
-            self.store.stage_write(committed.select("content_hash"), "seen_hashes", wave)
-        ]
         metrics_row = {
             "wave": wave,
             "depth": int(min_depth),
@@ -501,11 +545,7 @@ class CrawlEngine:
         metrics_df = self.spark.createDataFrame([metrics_row])
         appends["metrics"] = [self.store.stage_write(metrics_df, "metrics", wave)]
 
-        replaces = {
-            "pending": [self.store.stage_write(pending_next, "pending", wave + 1)],
-        }
-        appends["robots"] = [self.store.stage_write(robots_new, "robots", wave)]
-        _mark("small_writes")
+        replaces = {"pending": [rels["pending"]]}
         new_state = {
             "wave": wave + 1,
             "committed": committed_total + n_committed,
