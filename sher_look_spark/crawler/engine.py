@@ -215,7 +215,13 @@ class CrawlEngine:
 
     # ------------------------------------------------------------- robots (C5)
     def _resolve_robots(self, cand: DataFrame) -> DataFrame:
-        """Fetch+parse robots.txt once per new host; persist to `robots`."""
+        """Fetch+parse robots.txt once per new host; persist to `robots`.
+
+        Returns (wave_rules, fetched): ``wave_rules`` is scoped to the wave's
+        distinct hosts — the full accumulated robots table (every host ever
+        seen; 10^7-10^8 rows at web scale) is scanned but never broadcast or
+        shuffled; only the wave's slice travels.
+        """
         robots = self.store.read(self.spark, "robots")
         hosts = cand.select("host").distinct()
         if robots is not None:
@@ -240,7 +246,8 @@ class CrawlEngine:
         schema = "host string, has_rules boolean, allow array<string>, disallow array<string>"
         fetched = new_hosts.mapInPandas(fetch_robots, schema)
         combined = robots.unionByName(fetched) if robots is not None else fetched
-        return combined, fetched
+        wave_rules = combined.join(hosts, "host", "left_semi")
+        return wave_rules, fetched
 
     # --------------------------------------------------------------- one wave
     def run_wave(self) -> dict:
@@ -321,7 +328,9 @@ class CrawlEngine:
             deferred = winners.filter(F.col("host_slot") > self.cfg.per_host_wave_cap)
             winners = winners.filter(F.col("host_slot") <= self.cfg.per_host_wave_cap).drop("host_slot")
 
-        # --- C5/C6: robots rules join + allow filter
+        # --- C5/C6: robots rules join + allow filter. Only the WAVE's hosts'
+        # rules are broadcast — broadcasting the whole accumulated robots
+        # table would ship every host ever crawled to every task, every wave.
         robots, robots_new = self._resolve_robots(winners)
         robots_cached = robots.persist()
         joined = winners.join(F.broadcast(robots_cached), "host", "left")

@@ -72,19 +72,22 @@ def pagerank(
     localCheckpoint every ``checkpoint_every`` iterations so plans stay flat
     at cluster scale.
     """
-    n = vertices.count()
-    if n == 0:
-        return vertices.withColumn("rank", F.lit(0.0))
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("out_degree"))
     verts = vertices.join(out_deg, "id", "left").fillna({"out_degree": 0}).persist()
+    # one setup action yields both N and the initial dangling count
+    vstats = verts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("out_degree") == 0, 1).otherwise(0)).alias("n_dangling"),
+    ).collect()[0]
+    n = vstats.n
+    if n == 0:
+        verts.unpersist()
+        return vertices.withColumn("rank", F.lit(0.0))
     prev = verts.select("id", "out_degree", F.lit(1.0 / n).alias("rank")).persist()
+    dangling_mass = (vstats.n_dangling or 0) * (1.0 / n)
 
     base = (1.0 - damping) / n
     for i in range(max_iter):
-        dangling = (
-            prev.filter(F.col("out_degree") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
-        )
-        dangling_contrib = dangling / n
         contribs = (
             prev.join(edges, prev.id == edges.src)
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("out_degree")).alias("c"))
@@ -98,7 +101,8 @@ def pagerank(
                 "out_degree",
                 (
                     F.lit(base)
-                    + F.lit(damping) * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(dangling_contrib))
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(dangling_mass / n))
                 ).alias("rank"),
             )
         )
@@ -106,16 +110,23 @@ def pagerank(
             cur = cur.localCheckpoint(eager=True)
         else:
             cur = cur.persist()
-        max_diff = (
+        # ONE driver action per iteration: the convergence max-diff and the
+        # NEXT iteration's dangling mass come out of the same aggregation
+        # (the old separate dangling job doubled the driver round-trips).
+        istats = (
             cur.alias("c")
             .join(prev.alias("p"), "id")
-            .agg(F.max(F.abs(F.col("c.rank") - F.col("p.rank"))))
-            .collect()[0][0]
+            .agg(
+                F.max(F.abs(F.col("c.rank") - F.col("p.rank"))).alias("max_diff"),
+                F.sum(F.when(F.col("c.out_degree") == 0, F.col("c.rank"))).alias("dangling"),
+            )
+            .collect()[0]
         )
-        if max_diff is not None and max_diff < tol:
+        if istats.max_diff is not None and istats.max_diff < tol:
             # reference returns pageRankPrevious on convergence (break before swap)
             cur.unpersist()
             break
+        dangling_mass = istats.dangling or 0.0
         old = prev
         prev = cur
         old.unpersist()
@@ -162,13 +173,24 @@ def phrase_match(
     return joined.select(doc_col).distinct()
 
 
-def paginate(ranked: DataFrame, page: int, per_page: int = 10) -> DataFrame:
-    """Q10: offset/limit slice via row_number (Spark has no OFFSET pushdown)."""
-    w = Window.orderBy(F.desc("final_score"))
+def paginate(
+    ranked: DataFrame, page: int, per_page: int = 10, order: list | None = None
+) -> DataFrame:
+    """Q10: offset/limit slice of the ranked list (Ranker.java:623-637).
+
+    Scale-safe plan: ``orderBy(...).limit(offset+per_page)`` compiles to
+    TakeOrderedAndProject (per-partition top-K + driver merge — no global
+    sort, no full-data single-reducer window). The offset slice then ranks
+    only those ``offset+per_page`` rows — a constant bounded by the
+    pagination depth a user can request, independent of data size.
+    """
+    order = order or [F.desc("final_score")]
     start = (page - 1) * per_page
+    top = ranked.orderBy(*order).limit(start + per_page)
+    w = Window.orderBy(*order)
     return (
-        ranked.withColumn("pos", F.row_number().over(w))
-        .filter((F.col("pos") > start) & (F.col("pos") <= start + per_page))
+        top.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") > start)
         .drop("pos")
     )
 
@@ -178,20 +200,38 @@ def snippets(
     hit_terms: list[str],
     window: int = 15,
     doc_col: str = "doc_id",
+    docs: DataFrame | None = None,
+    desc_col: str = "description",
 ) -> DataFrame:
-    """Q11: earliest hit position per doc -> all words within ±window rebuilt
-    in order, query terms wrapped in <b> (Ranker.java:527-621, window :574).
+    """Q11 with the reference's exact semantics (Ranker.java:548-611 +
+    DatabaseHelper.getWordsAroundPositions :591-643):
 
-    Range join postings.position BETWEEN hit±window + ordered collect_list.
+    * the earliest position of EACH query term per doc (min across sections)
+      contributes its own ±window range (:548-566);
+    * ranges are merged per doc as a position->word map (overlaps dedup);
+    * words rebuilt in position order, query terms wrapped in <b>, and a
+      trailing `` ...`` appended (:601-609);
+    * docs with no hits fall back to their description (:588-590) when a
+      ``docs(doc_col, desc_col)`` frame is supplied.
+
+    Plan shape: broadcast per-(doc, term) hit table + range predicate on the
+    postings scan, dedup on (doc, position), ordered collect per doc.
     """
     terms = postings.sparkSession.createDataFrame([(t,) for t in hit_terms], "word string")
-    first_hit = (
+    hits = (
         postings.join(F.broadcast(terms), "word")
-        .groupBy(doc_col)
+        .groupBy(doc_col, "word")
         .agg(F.min("position").alias("hit"))
+        .select(doc_col, "hit")
     )
-    ctx = postings.join(F.broadcast(first_hit), doc_col).filter(
-        (F.col("position") >= F.col("hit") - window) & (F.col("position") <= F.col("hit") + window)
+    ctx = (
+        postings.join(F.broadcast(hits), doc_col)
+        .filter(
+            (F.col("position") >= F.greatest(F.lit(0), F.col("hit") - window))
+            & (F.col("position") <= F.col("hit") + window)
+        )
+        .select(doc_col, "position", "word")
+        .dropDuplicates([doc_col, "position"])
     )
     decorated = ctx.withColumn(
         "piece",
@@ -199,8 +239,19 @@ def snippets(
             F.col("word")
         ),
     )
-    return decorated.groupBy(doc_col).agg(
-        F.concat_ws(
-            " ", F.transform(F.array_sort(F.collect_list(F.struct("position", "piece"))), lambda s: s["piece"])
+    snips = decorated.groupBy(doc_col).agg(
+        F.concat(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("position", "piece"))), lambda s: s["piece"]
+                ),
+            ),
+            F.lit(" ..."),
         ).alias("snippet")
+    )
+    if docs is None:
+        return snips
+    return docs.select(doc_col, F.col(desc_col).alias("_desc")).join(snips, doc_col, "left").select(
+        doc_col, F.coalesce("snippet", F.col("_desc")).alias("snippet")
     )

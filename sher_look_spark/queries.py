@@ -101,9 +101,15 @@ FROM documents
 
 
 def q_c4_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4: URL-seen dedup shape — anti-join events against the customer 'seen' set."""
+    """C4: URL-seen dedup shape — anti-join events against a 'seen' set
+    covering only even customer keys, so the survivor set is non-empty at
+    every sf (a 0-row anti-join result would verify nothing)."""
     events = load(spark, sf_dir, "events")
-    seen = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id"))
+    seen = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(F.col("c_custkey").alias("user_id"))
+    )
     return (
         events.join(seen, "user_id", "left_anti")
         .groupBy("user_id")
@@ -114,7 +120,8 @@ def q_c4_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_C4 = """
 SELECT user_id, count(*) AS n_events
 FROM events e
-WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = e.user_id AND c.c_custkey % 2 = 0)
 GROUP BY user_id
 """
 
@@ -314,38 +321,57 @@ def q_q8_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_q11_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q11: ±15-token snippet around the first 'spark' hit, hits bolded."""
+    """Q11 with the reference's per-term-window semantics: the earliest hit of
+    EACH query term opens its own ±15 window; windows merge per doc; trailing
+    ' ...'; docs without hits fall back to a description column. Multi-term so
+    the oracle discriminates (a single combined-min window would differ)."""
     from sher_look_spark.operators.ranking import snippets
 
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("src="), F.col("source")).alias("description")
+    )
     toks = _spark_tokens(spark, sf_dir).withColumn("section", F.lit("body"))
-    return snippets(toks, ["spark"], window=15)
+    return snippets(toks, ["spark", "vector"], window=15, docs=docs)
 
 
 def sql_q11() -> str:
     return f"""
 WITH {_sql_tokens_cte()},
 hits AS (
-  SELECT doc_id, min(position) AS hit FROM tokens WHERE word = 'spark' GROUP BY doc_id
+  SELECT doc_id, word, min(position) AS hit FROM tokens
+  WHERE word IN ('spark', 'vector') GROUP BY doc_id, word
+),
+ctx AS (
+  SELECT DISTINCT t.doc_id, t.position, t.word
+  FROM tokens t JOIN hits h ON t.doc_id = h.doc_id
+  WHERE t.position BETWEEN greatest(0, h.hit - 15) AND h.hit + 15
+),
+snip AS (
+  SELECT doc_id,
+         string_agg(
+           CASE WHEN word IN ('spark', 'vector') THEN '<b>' || word || '</b>' ELSE word END,
+           ' ' ORDER BY position
+         ) || ' ...' AS snippet
+  FROM ctx GROUP BY doc_id
 )
-SELECT t.doc_id,
-       string_agg(
-         CASE WHEN t.word = 'spark' THEN '<b>' || t.word || '</b>' ELSE t.word END,
-         ' ' ORDER BY t.position
-       ) AS snippet
-FROM tokens t JOIN hits h ON t.doc_id = h.doc_id
-WHERE t.position BETWEEN h.hit - 15 AND h.hit + 15
-GROUP BY t.doc_id
+SELECT d.doc_id, coalesce(s.snippet, 'src=' || d.source) AS snippet
+FROM documents d LEFT JOIN snip s ON d.doc_id = s.doc_id
 """
 
 
 # ------------------------------------------------------------ dedup / simhash
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram Jaccard similarity pairs over a doc subset (exact, oracle-checked)."""
+    """3-gram Jaccard similarity pairs over a doc subset (exact, oracle-checked).
+
+    Threshold 0.02 / doc window 200 yields ~70 pairs at the driver's checked
+    sf0.01 (incl. the near-dup trio >0.95) — a non-vacuous result set. The
+    threshold filter compares the identical IEEE-double ratio of exact integer
+    counts on both engines, so boundary pairs cannot diverge."""
     from sher_look_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.05)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.02)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -354,7 +380,7 @@ def sql_dedup_ngram_jaccard() -> str:
 WITH {SQL_RAWTOK_CTE},
 toklists AS (
   SELECT doc_id, list(word ORDER BY position) AS toks FROM rawtok
-  WHERE doc_id < 100 GROUP BY doc_id
+  WHERE doc_id < 200 GROUP BY doc_id
 ),
 shingles AS (
   SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(toks) - 1),
@@ -370,7 +396,7 @@ inter AS (
 SELECT id_a, id_b,
        round(i::DOUBLE / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.05
+WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.02
 """
 
 

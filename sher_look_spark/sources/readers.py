@@ -24,16 +24,28 @@ EVENTS_SCHEMA = T.StructType(
 
 def read_seeds(spark: SparkSession, path: str) -> DataFrame:
     """C1: seed file of '<url> <depth>' lines (data/start-pages.txt shape),
-    preserving file order as discovery_rank."""
-    lines = spark.read.text(path)
+    preserving file order as discovery_rank.
+
+    JVM-only rank assignment: the text source preserves line order per file,
+    ``coalesce(1)`` concatenates splits in file order, and the dense rank is a
+    row_number over ``monotonically_increasing_id`` — no Python row
+    serialization (a seed list is a few hundred lines; the single-partition
+    window is bounded by the seed file, not the data)."""
+    from pyspark.sql import Window
+
+    lines = spark.read.text(path).coalesce(1)
     parts = F.split(F.trim(F.col("value")), r"\s+")
-    df = lines.select(
-        F.get(parts, 0).alias("url"),
-        F.coalesce(F.get(parts, 1).cast("int"), F.lit(0)).alias("depth"),
-    ).filter(F.col("url").isNotNull() & (F.col("url") != ""))
-    # file order -> rank (single seed file: small, driver-side order is exact)
-    rdd = df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
-    return spark.createDataFrame(rdd, df.schema.add("rank", T.LongType()))
+    df = (
+        lines.withColumn("_ord", F.monotonically_increasing_id())
+        .select(
+            F.get(parts, 0).alias("url"),
+            F.coalesce(F.get(parts, 1).cast("int"), F.lit(0)).alias("depth"),
+            "_ord",
+        )
+        .filter(F.col("url").isNotNull() & (F.col("url") != ""))
+    )
+    w = Window.orderBy("_ord")
+    return df.withColumn("rank", (F.row_number().over(w) - 1).cast(T.LongType())).drop("_ord")
 
 
 def read_table(spark: SparkSession, path: str, fmt: str = "parquet", schema=None) -> DataFrame:

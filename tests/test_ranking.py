@@ -136,6 +136,44 @@ def test_snippets_window_and_bold(spark):
     postings = spark.createDataFrame(rows, "doc_id int, section string, word string, position int")
     snip = snippets(postings, ["hit"], window=15).collect()[0].snippet
     toks = snip.split(" ")
-    assert toks[0] == "w5" and toks[-1] == "w35"
+    # Ranker.java:601-609 appends a trailing "..." after the windowed words
+    assert toks[0] == "w5" and toks[-2] == "w35" and toks[-1] == "..."
     assert "<b>hit</b>" in toks
-    assert len(toks) == 31
+    assert len(toks) == 32
+
+
+def test_snippets_per_term_windows_merge(spark):
+    """Two query terms whose ±15 windows do NOT overlap must each contribute a
+    window (Ranker.java:548-566 collects the earliest position of EVERY term),
+    merged in position order with a single trailing '...'."""
+    from sher_look_spark.operators.ranking import snippets
+
+    words = [f"w{i}" for i in range(100)]
+    words[10] = "alpha"
+    words[80] = "beta"
+    rows = [(1, "body", w, i) for i, w in enumerate(words)]
+    postings = spark.createDataFrame(rows, "doc_id int, section string, word string, position int")
+    snip = snippets(postings, ["alpha", "beta"], window=15).collect()[0].snippet
+    toks = snip.split(" ")
+    # window 1: positions 0..25 (26 words), window 2: 65..95 (31 words), + "..."
+    assert len(toks) == 26 + 31 + 1
+    assert toks[0] == "w0" and toks[25] == "w25"
+    assert toks[26] == "w65" and toks[-2] == "w95" and toks[-1] == "..."
+    assert "<b>alpha</b>" in toks and "<b>beta</b>" in toks
+
+
+def test_snippets_description_fallback(spark):
+    """Docs with no query-term hits fall back to the description
+    (Ranker.java:588-590)."""
+    from sher_look_spark.operators.ranking import snippets
+
+    postings = spark.createDataFrame(
+        [(1, "body", "hit", 0), (1, "body", "tail", 1)],
+        "doc_id int, section string, word string, position int",
+    )
+    docs = spark.createDataFrame(
+        [(1, "desc one"), (2, "desc two")], "doc_id int, description string"
+    )
+    out = {r.doc_id: r.snippet for r in snippets(postings, ["hit"], docs=docs).collect()}
+    assert out[1] == "<b>hit</b> tail ..."
+    assert out[2] == "desc two"
