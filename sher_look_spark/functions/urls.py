@@ -140,3 +140,10 @@ def normalize_url_udf(urls: pd.Series) -> pd.Series:
 @pandas_udf(BooleanType())
 def is_absolute_udf(urls: pd.Series) -> pd.Series:
     return urls.map(is_absolute).astype("boolean")
+
+
+@pandas_udf(StringType())
+def canonicalize_href_udf(base_urls: pd.Series, hrefs: pd.Series) -> pd.Series:
+    """Arrow-batched child-link canonicalization (SURVEY §2 C10): resolve the
+    href against its page URL, normalize, gate on absoluteness."""
+    return pd.Series([canonicalize_href(b, h) for b, h in zip(base_urls, hrefs)])

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 — pandas-UDF type hints resolve against module globals
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -203,6 +205,121 @@ SELECT c_nationkey, c_custkey, slot FROM (
 """
 
 
+def q_c1_seed_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: dense discovery-rank assignment in a global sort order — exercises
+    the engine's scale-safe rank operator (range repartition + per-partition
+    row_number + broadcast offsets; no single-reducer window, no Python rows).
+    Reference analog: seed file order -> queue order (Crawler.java:87-105)."""
+    from sher_look_spark.crawler.engine import _dense_rank_sorted
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    ranked, _handle, _n = _dense_rank_sorted(docs, ["source", "doc_id"], "rank", 0)
+    return ranked.select("doc_id", "rank")
+
+
+SQL_C1 = """
+SELECT doc_id, row_number() OVER (ORDER BY source, doc_id) - 1 AS rank
+FROM documents
+"""
+
+
+def q_c2_budget_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: max-pages budget cut at the FIFO stop rank — the first `budget`
+    candidates in (ts, event_id) poll order survive (CrawlTask.java:50-55).
+    orderBy().limit() compiles to TakeOrderedAndProject (no global sort)."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.orderBy("ts", "event_id")
+        .limit(200)
+        .select("event_id", "user_id")
+    )
+
+
+SQL_C2 = """
+SELECT event_id, user_id FROM events ORDER BY ts, event_id LIMIT 200
+"""
+
+
+def q_c5_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: robots.txt fetch+parse over synthesized per-host bodies — the real
+    parser (parse_robots_txt incl. rule_to_regex) runs in an Arrow batch;
+    the oracle reconstructs the expected regex lists by string construction
+    (Robots.java:52-68 accumulation, ruleToRegex :145-157)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from sher_look_spark.functions.robots import parse_robots_txt
+
+    @pandas_udf(T.StringType())
+    def parse_allow(bodies: pd.Series) -> pd.Series:
+        return bodies.map(lambda b: "|".join(parse_robots_txt(b)[0]))
+
+    @pandas_udf(T.StringType())
+    def parse_disallow(bodies: pd.Series) -> pd.Series:
+        return bodies.map(lambda b: "|".join(parse_robots_txt(b)[1]))
+
+    docs = load(spark, sf_dir, "documents")
+    body = F.concat(
+        F.lit("User-agent: googlebot\nDisallow: /\n\nUser-agent: *\nDisallow: /d/"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("\nAllow: /d/"),
+        (F.col("doc_id") % 10).cast("string"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("\n"),
+    )
+    return docs.select(
+        "doc_id",
+        parse_allow(body).alias("allow_rules"),
+        parse_disallow(body).alias("disallow_rules"),
+    )
+
+
+SQL_C5 = """
+SELECT doc_id,
+       '^/d/' || (doc_id % 10) || (doc_id % 10) || '.*' AS allow_rules,
+       '^/d/' || (doc_id % 10) || '.*' AS disallow_rules
+FROM documents
+"""
+
+
+def q_c10_link_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: child-link canonicalization (Jsoup absUrl + normalize + absolute
+    gate, CrawlTask.java:130-143) over five synthesized href shapes: already-
+    canonical absolute, relative ../, messy absolute (case/port/param-order/
+    fragment), junk scheme (-> NULL), and rooted path with a tracking param."""
+    from sher_look_spark.functions.urls import canonicalize_href_udf
+
+    docs = load(spark, sf_dir, "documents")
+    base = F.concat(F.lit("http://"), F.lower("source"), F.lit(".test/dir/page"))
+    sid = F.col("doc_id").cast("string")
+    href = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("http://ext.test/x/"), sid))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("../up/"), sid))
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("HTTP://EXT.TEST:80/p/"), sid, F.lit("/?b=2&a=1#f")),
+        )
+        .when(F.col("doc_id") % 5 == 3, F.lit("mailto:admin@example.com"))
+        .otherwise(F.concat(F.lit("/rooted/"), sid, F.lit("?utm_x=1&keep=2")))
+    )
+    return docs.select("doc_id", canonicalize_href_udf(base, href).alias("child_url"))
+
+
+SQL_C10 = """
+SELECT doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN 'http://ext.test/x/' || doc_id
+         WHEN 1 THEN 'http://' || lower(source) || '.test/up/' || doc_id
+         WHEN 2 THEN 'http://ext.test/p/' || doc_id || '?a=1&b=2'
+         WHEN 3 THEN NULL
+         ELSE 'http://' || lower(source) || '.test/rooted/' || doc_id || '?keep=2'
+       END AS child_url
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------- index
 
 def q_i4_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,6 +362,144 @@ SELECT word, count(DISTINCT doc_id) AS df,
        round(ln((SELECT count(*) FROM documents)::DOUBLE / count(DISTINCT doc_id) + 1), 6) AS idf
 FROM tokens GROUP BY word
 """
+
+
+def _synth_html_col():
+    """Deterministic per-doc HTML: even doc_ids carry <title>+<meta>, odd ones
+    rely on the reference's h1/p fallbacks (Indexer.java:50-63)."""
+    sid = F.col("doc_id").cast("string")
+    head = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("<title>Title "), sid, F.lit('</title><meta name="description" content="Meta '),
+            F.col("source"), F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("<html><head>"), head, F.lit("</head><body><h1>Head "), sid,
+        F.lit("</h1><p>para "), F.col("source"), F.lit(" "), sid,
+        F.lit("</p></body></html>"),
+    )
+
+
+def q_i2_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2: title/description extraction with the reference's fallbacks (title
+    -> first h1..h6, description -> first <p>; Indexer.java:50-63) — the real
+    HTML tree parser runs as an Arrow-batched UDF over synthesized pages."""
+    from sher_look_spark.operators.webindex import _parse_udf
+
+    docs = load(spark, sf_dir, "documents")
+    parsed = docs.select("doc_id", _parse_udf()(_synth_html_col()).alias("p"))
+    return parsed.select(
+        "doc_id", F.col("p.title").alias("title"), F.col("p.description").alias("description")
+    )
+
+
+SQL_I2 = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'Title ' || doc_id ELSE 'Head ' || doc_id END AS title,
+       CASE WHEN doc_id % 2 = 0 THEN 'Meta ' || source
+            ELSE 'para ' || source || ' ' || doc_id END AS description
+FROM documents
+"""
+
+
+def q_i3_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3: section segmentation — title tokenized first, h1-h6 -> 'header',
+    other own-text elements -> 'body' (Indexer.java:78-92)."""
+    from sher_look_spark.operators.webindex import _parse_udf
+
+    docs = load(spark, sf_dir, "documents")
+    parsed = docs.select("doc_id", _parse_udf()(_synth_html_col()).alias("p"))
+    return parsed.select("doc_id", F.posexplode("p.sections").alias("sec_ord", "s")).select(
+        "doc_id", "sec_ord", F.col("s.sec").alias("section"), F.col("s.txt").alias("txt")
+    )
+
+
+SQL_I3 = """
+SELECT doc_id, sec_ord, section,
+       CASE sec_ord
+         WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 'Title ' || doc_id ELSE 'Head ' || doc_id END
+         WHEN 1 THEN 'Head ' || doc_id
+         ELSE 'para ' || source || ' ' || doc_id
+       END AS txt
+FROM documents,
+     (VALUES (0, 'title'), (1, 'header'), (2, 'body')) AS secs(sec_ord, section)
+"""
+
+
+# Fixed word list for the Porter-stemmer UDF check: reference goldens
+# (DatabaseHelperTests.java:179-181) plus the classic Porter-paper vocabulary.
+# The oracle embeds stems precomputed by the same public-domain algorithm at
+# SQL-generation time — the check pins the distributed Arrow-UDF path; the
+# algorithm itself is pinned by reference goldens in tests/test_text.py.
+STEM_WORDS = (
+    "flies swimming caresses ponies ties caress cats feed agreed plastered bled "
+    "motoring sing conflated troubled sized hopping tanned falling hissing fizzed "
+    "failing filing happy sky relational conditional rational valenci hesitanci "
+    "digitizer communism feudalism adoption adjustable defensible irritant "
+    "replacement adjustment dependent activate demonstrate generalization "
+    "oscillators probate rate cease controll roll searching crawling indexed"
+).split()
+
+
+def q_i6_porter_stems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sher_look_spark.functions.text import porter_stem_udf
+
+    df = spark.createDataFrame([(w,) for w in STEM_WORDS], "word string")
+    return df.select("word", porter_stem_udf("word").alias("stem"))
+
+
+def sql_i6() -> str:
+    from sher_look_spark.functions.porter import porter_stem
+
+    vals = ", ".join(f"('{w}', '{porter_stem(w)}')" for w in STEM_WORDS)
+    return f"SELECT word, stem FROM (VALUES {vals}) AS t(word, stem)"
+
+
+def q_i7_word_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I7: the word dictionary with global occurrence counts
+    (DatabaseHelper.java:171-236); surrogate xxhash64 ids are engine-internal
+    and excluded from the cross-engine comparison."""
+    from sher_look_spark.operators.indexer import word_dictionary
+
+    return word_dictionary(_spark_tokens(spark, sf_dir)).select("word", "count")
+
+
+def sql_i7() -> str:
+    return f"WITH {_sql_tokens_cte()} SELECT word, count(*) AS count FROM tokens GROUP BY word"
+
+
+def q_i1_unindexed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1: `index_time IS NULL` scan (DatabaseHelper.java:122-135) over a
+    synthesized index_time column (every 3rd doc unindexed)."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "index_time",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("timestamp")).otherwise(
+            F.lit("2026-01-01 00:00:00").cast("timestamp")
+        ),
+    )
+    return docs.filter(F.col("index_time").isNull()).select("doc_id", "n_chars")
+
+
+SQL_I1 = """
+SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+def q_i8_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I8: postings batch insert — write the postings fact table to parquet
+    through the snapshot store and read it back; the value check certifies the
+    persisted bytes, not just the in-memory frame (DatabaseHelper.java:238-262)."""
+    import tempfile
+
+    from sher_look_spark.crawler.storage import SnapshotStore
+
+    toks = _spark_tokens(spark, sf_dir).select("doc_id", "word", "position")
+    store = SnapshotStore(tempfile.mkdtemp(prefix="postings-rt-"))
+    rel = store.stage_write(toks, "postings", 0)
+    store.commit(appends={"postings": [rel]})
+    return store.read(spark, "postings")
 
 
 # ---------------------------------------------------------------- query/rank
@@ -302,9 +557,15 @@ SELECT DISTINCT doc_id FROM tokens WHERE word = 'slow'
 """
 
 
+PAGERANK_ORACLE_ITERS = 25
+
+
 def q_q8_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q8: PageRank on a 25-node graph derived from orders (rows-only check;
-    numeric goldens live in tests/test_ranking.py)."""
+    """Q8: PageRank on a 25-node graph derived from orders, run for a FIXED
+    25 iterations (tol=0 disables the convergence break) so a non-recursive
+    chained-CTE DuckDB oracle can replay the identical power iteration —
+    dangling redistribution included (Ranker.java:128-187). The reference's
+    converge-and-return-previous quirk is pinned by tests/test_ranking.py."""
     from sher_look_spark.operators.ranking import pagerank
 
     orders = load(spark, sf_dir, "orders")
@@ -316,8 +577,205 @@ def q_q8_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     verts = spark.range(25).select(F.col("id").cast("long").alias("id"))
-    pr = pagerank(spark, verts, edges)
+    pr = pagerank(spark, verts, edges, tol=0.0, max_iter=PAGERANK_ORACLE_ITERS)
     return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+def sql_q8(iters: int = PAGERANK_ORACLE_ITERS, damping: float = 0.85) -> str:
+    """Chained-CTE power iteration: it{k} computes rank step k from it{k-1};
+    each step redistributes the previous iterate's dangling mass uniformly —
+    byte-for-byte the formula in operators/ranking.pagerank."""
+    # MATERIALIZED: each iteration references edges/deg — without it DuckDB
+    # inlines the parquet scan per reference and exhausts file handles.
+    head = """
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT o_custkey % 25 AS src, o_orderkey % 25 AS dst
+  FROM orders WHERE o_custkey % 25 <> o_orderkey % 25
+),
+verts AS (SELECT unnest(range(25)) AS id),
+deg AS MATERIALIZED (
+  SELECT v.id, coalesce(d.cnt, 0) AS out_degree
+  FROM verts v LEFT JOIN (SELECT src AS id, count(*) AS cnt FROM edges GROUP BY src) d USING (id)
+),
+it0 AS (SELECT id, out_degree, 1.0/25 AS rank FROM deg)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+it{k} AS MATERIALIZED (
+  SELECT d.id, d.out_degree,
+         (1.0 - {damping!r})/25 + {damping!r} * (coalesce(s.insum, 0.0) + dang.m/25) AS rank
+  FROM deg d
+  CROSS JOIN (SELECT coalesce(sum(rank), 0.0) AS m FROM it{k - 1} WHERE out_degree = 0) dang
+  LEFT JOIN (SELECT e.dst AS id, sum(p.rank / p.out_degree) AS insum
+             FROM it{k - 1} p JOIN edges e ON e.src = p.id GROUP BY e.dst) s USING (id)
+)""")
+    return (
+        head + "," + ",".join(steps)
+        + f"\nSELECT id, round(rank, 6) AS rank FROM it{iters}"
+    )
+
+
+def _sql_phrase_cte(phrase: list[str]) -> str:
+    """Positions self-join: term_i at start+i for every i (Ranker.java:252-312)."""
+    joins = []
+    for i, t in enumerate(phrase[1:], start=1):
+        joins.append(
+            f"JOIN tokens t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.word = '{t}' "
+            f"AND t{i}.position = t0.position + {i}"
+        )
+    return (
+        "phrase_docs AS (\n"
+        f"  SELECT DISTINCT t0.doc_id FROM tokens t0 {' '.join(joins)}\n"
+        f"  WHERE t0.word = '{phrase[0]}'\n)"
+    )
+
+
+PHRASE = ["merge", "column"]  # bigram with real support in the synth corpus
+
+
+def q_q5_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: docs where the phrase terms occur consecutively within a section —
+    equi-join chain on (doc, section, position - i), no UDF."""
+    from sher_look_spark.operators.ranking import phrase_match
+
+    toks = _spark_tokens(spark, sf_dir).withColumn("section", F.lit("body"))
+    return phrase_match(toks, PHRASE)
+
+
+def sql_q5() -> str:
+    return f"WITH {_sql_tokens_cte()}, {_sql_phrase_cte(PHRASE)} SELECT doc_id FROM phrase_docs"
+
+
+def q_q6_phrase_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: phrase scoring = TF-IDF shape over the phrase-matching docs, but a
+    term missing from the idf table defaults to 1.0 (Ranker.java:319), not 0.0
+    (:89). The idf table is restricted to the first phrase term so the second
+    term actually exercises the 1.0 default."""
+    from sher_look_spark.operators.indexer import document_sizes, idf_table
+    from sher_look_spark.operators.ranking import phrase_match, tfidf_scores
+
+    docs = load(spark, sf_dir, "documents")
+    toks = _spark_tokens(spark, sf_dir).withColumn("section", F.lit("body"))
+    matched = phrase_match(toks, PHRASE)
+    toks_m = toks.join(matched, "doc_id", "left_semi")
+    sizes = document_sizes(toks)
+    idf = idf_table(toks, n_docs=docs.count()).filter(F.col("word") == PHRASE[0])
+    scores = tfidf_scores(toks_m, sizes, idf, PHRASE, missing_idf_default=1.0)
+    return scores.select("doc_id", F.round(F.col("tfidf"), 6).alias("phrase_score"))
+
+
+def sql_q6() -> str:
+    terms = ", ".join(f"'{t}'" for t in PHRASE)
+    return f"""
+WITH {_sql_tokens_cte()}, {_sql_phrase_cte(PHRASE)},
+sizes AS (SELECT doc_id, count(*) AS document_size FROM tokens GROUP BY doc_id),
+idf AS (
+  SELECT word, ln((SELECT count(*) FROM documents)::DOUBLE / count(DISTINCT doc_id) + 1) AS idf
+  FROM tokens WHERE word = '{PHRASE[0]}' GROUP BY word
+),
+freqs AS (
+  SELECT t.doc_id, t.word, count(*) AS freq FROM tokens t
+  JOIN phrase_docs p ON p.doc_id = t.doc_id
+  WHERE t.word IN ({terms}) GROUP BY t.doc_id, t.word
+)
+SELECT f.doc_id,
+       round(sum(f.freq::DOUBLE / s.document_size * coalesce(i.idf, 1.0)), 6) AS phrase_score
+FROM freqs f JOIN sizes s USING (doc_id) LEFT JOIN idf i USING (word)
+GROUP BY f.doc_id
+"""
+
+
+# Synthetic-but-deterministic pagerank column for the blend/pagination checks:
+# rank = (doc_id % 10)/10 for docs with doc_id % 3 <> 0; the remaining docs
+# exercise blend_scores' missing-pagerank coalesce-to-0 path.
+def _synth_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") % 3 != 0).select(
+        F.col("doc_id").alias("id"), ((F.col("doc_id") % 10) / 10.0).alias("rank")
+    )
+
+
+SQL_SYNTH_PR = """
+pr AS (
+  SELECT doc_id AS id, (doc_id % 10) / 10.0 AS rank FROM documents WHERE doc_id % 3 <> 0
+)"""
+
+
+def _blended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sher_look_spark.operators.indexer import document_sizes, idf_table
+    from sher_look_spark.operators.ranking import blend_scores, tfidf_scores
+
+    docs = load(spark, sf_dir, "documents")
+    toks = _spark_tokens(spark, sf_dir).withColumn("section", F.lit("body"))
+    sizes = document_sizes(toks)
+    idf = idf_table(toks, n_docs=docs.count())
+    scores = tfidf_scores(toks, sizes, idf, QUERY_TERMS)
+    return blend_scores(scores, _synth_pr(spark, sf_dir))
+
+
+def _sql_blend_ctes() -> str:
+    terms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    return f"""{_sql_tokens_cte()},
+sizes AS (SELECT doc_id, count(*) AS document_size FROM tokens GROUP BY doc_id),
+idf AS (
+  SELECT word, ln((SELECT count(*) FROM documents)::DOUBLE / count(DISTINCT doc_id) + 1) AS idf
+  FROM tokens GROUP BY word
+),
+freqs AS (
+  SELECT doc_id, word, count(*) AS freq FROM tokens WHERE word IN ({terms})
+  GROUP BY doc_id, word
+),
+tfidf AS (
+  SELECT f.doc_id, sum(f.freq::DOUBLE / s.document_size * i.idf) AS tfidf
+  FROM freqs f JOIN sizes s USING (doc_id) JOIN idf i USING (word)
+  GROUP BY f.doc_id
+),
+{SQL_SYNTH_PR},
+blended AS (
+  SELECT t.doc_id, 0.7 * t.tfidf + 0.3 * coalesce(p.rank, 0.0) AS final_score
+  FROM tfidf t LEFT JOIN pr p ON p.id = t.doc_id
+)"""
+
+
+def q_q9_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: final = 0.7*tfidf + 0.3*pagerank with missing pagerank -> 0
+    (Ranker.java:27-28, 376-388)."""
+    return _blended(spark, sf_dir).select(
+        "doc_id", F.round("final_score", 6).alias("final_score")
+    )
+
+
+def sql_q9() -> str:
+    return f"""
+WITH {_sql_blend_ctes()}
+SELECT doc_id, round(final_score, 6) AS final_score FROM blended
+"""
+
+
+def q_q10_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: page 2 (offset 10, 10/page) of the blended ranking, deterministic
+    (score desc, doc_id) order — TakeOrderedAndProject plan, no full-data
+    single-partition window (Ranker.java:623-637)."""
+    from sher_look_spark.operators.ranking import paginate
+
+    page = paginate(
+        _blended(spark, sf_dir), page=2, per_page=10,
+        order=[F.desc("final_score"), F.col("doc_id")],
+    )
+    return page.select("doc_id", F.round("final_score", 6).alias("final_score"))
+
+
+def sql_q10() -> str:
+    return f"""
+WITH {_sql_blend_ctes()},
+ranked AS (
+  SELECT doc_id, final_score,
+         row_number() OVER (ORDER BY final_score DESC, doc_id) AS pos
+  FROM blended
+)
+SELECT doc_id, round(final_score, 6) AS final_score
+FROM ranked WHERE pos > 10 AND pos <= 20
+"""
 
 
 def q_q11_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -665,18 +1123,32 @@ FROM events
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "c1_seed_ranks": q_c1_seed_ranks,
+        "c2_budget_stop": q_c2_budget_stop,
         "c3_url_normalize": q_c3_url_normalize,
         "c4_seen_antijoin": q_c4_seen_antijoin,
+        "c5_robots_parse": q_c5_robots_parse,
         "c6_robots_precedence": q_c6_robots_precedence,
         "c7_politeness_slots": q_c7_politeness_slots,
         "c9_content_dedup": q_c9_content_dedup,
+        "c10_link_canonicalize": q_c10_link_canonicalize,
         "c11_topk_children": q_c11_topk_children,
+        "i1_unindexed_scan": q_i1_unindexed_scan,
+        "i2_html_extract": q_i2_html_extract,
+        "i3_sections": q_i3_sections,
         "i4_tokenize_positions": q_i4_tokenize_positions,
+        "i6_porter_stems": q_i6_porter_stems,
+        "i7_word_dictionary": q_i7_word_dictionary,
+        "i8_postings_roundtrip": q_i8_postings_roundtrip,
         "i9_doc_sizes": q_i9_doc_sizes,
         "i11_idf": q_i11_idf,
         "q4_tfidf": q_q4_tfidf,
+        "q5_phrase_match": q_q5_phrase_match,
+        "q6_phrase_score": q_q6_phrase_score,
         "q7_boolean_set_ops": q_q7_boolean_set_ops,
         "q8_pagerank": q_q8_pagerank,
+        "q9_blend": q_q9_blend,
+        "q10_pagination": q_q10_pagination,
         "q11_snippets": q_q11_snippets,
         "dedup_exact": q_c9_content_dedup,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -697,18 +1169,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "c1_seed_ranks": SQL_C1,
+        "c2_budget_stop": SQL_C2,
         "c3_url_normalize": SQL_C3,
         "c4_seen_antijoin": SQL_C4,
+        "c5_robots_parse": SQL_C5,
         "c6_robots_precedence": SQL_C6,
         "c7_politeness_slots": SQL_C7,
         "c9_content_dedup": SQL_C9,
+        "c10_link_canonicalize": SQL_C10,
         "c11_topk_children": SQL_C11,
+        "i1_unindexed_scan": SQL_I1,
+        "i2_html_extract": SQL_I2,
+        "i3_sections": SQL_I3,
         "i4_tokenize_positions": sql_i4(),
+        "i6_porter_stems": sql_i6(),
+        "i7_word_dictionary": sql_i7(),
+        "i8_postings_roundtrip": sql_i4(),  # write->read-back must equal the source tokens
         "i9_doc_sizes": sql_i9(),
         "i11_idf": sql_i11(),
         "q4_tfidf": sql_q4(),
+        "q5_phrase_match": sql_q5(),
+        "q6_phrase_score": sql_q6(),
         "q7_boolean_set_ops": sql_q7(),
-        # q8_pagerank: iterative — rows-only check
+        "q8_pagerank": sql_q8(),
+        "q9_blend": sql_q9(),
+        "q10_pagination": sql_q10(),
         "q11_snippets": sql_q11(),
         "dedup_exact": SQL_C9,
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
