@@ -49,26 +49,38 @@ def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 64, shingle: int = 3, seed: int = 42,
 ) -> DataFrame:
-    """(id, signature array<long>) — min over per-permutation shingle hashes.
+    """(id, signature array<string>) — min over per-permutation shingle hashes.
 
-    Entirely JVM-side: permutation i is xxhash64 with a per-i salt prefix
-    (an affine h*a+b permutation overflows int64 under ANSI mode), then
-    array_min per permutation. No Python in the row path.
+    Entirely JVM-side: permutation i hashes each shingle with a salted sha256
+    and keeps the first 16 hex chars (64 bits). Fixed-width hex strings order
+    exactly like their numeric value, so min-hex == min-int — and sha256 is
+    computable identically in Spark, Python and DuckDB, which makes the
+    signatures value-checkable by the SQL oracle (xxhash64, the obvious
+    faster choice, exists only in Spark; an affine h*a+b permutation
+    overflows int64 under ANSI mode).
+
+    Physical shape: explode shingles -> groupBy(id).agg(min per permutation).
+    The num_hashes mins are plain aggregate expressions — partial-aggregated
+    map-side, so the shuffle carries one fixed-width row per (doc, slot) set,
+    and NO lambda expressions are involved. (An earlier array_min(transform)
+    formulation hit a PySpark sibling-lambda variable cross-binding bug that
+    silently corrupted the per-permutation salts — caught by the DuckDB
+    oracle; keep minhash lambda-free.)
     """
     sh = shingles_column(text_col, shingle)
-    sig_cols = [
-        F.array_min(
-            F.transform(
-                F.col("_shingles"),
-                lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{seed}|{i}|"), s)),
+    exploded = df.select(id_col, F.explode(sh).alias("_shingle"))
+    aggs = [
+        F.min(
+            F.substring(
+                F.sha2(F.concat(F.lit(f"mh{seed}|{i}|"), F.col("_shingle")), 256), 1, 16
             )
-        )
+        ).alias(f"_s{i}")
         for i in range(num_hashes)
     ]
     return (
-        df.select(id_col, sh.alias("_shingles"))
-        .filter(F.size("_shingles") > 0)
-        .select(id_col, F.array(*sig_cols).alias("signature"))
+        exploded.groupBy(id_col)
+        .agg(*aggs)
+        .select(id_col, F.array(*[f"_s{i}" for i in range(num_hashes)]).alias("signature"))
     )
 
 
@@ -79,6 +91,8 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b; est_jaccard = fraction
     of equal signature slots."""
     rows_per_band = F.floor(F.size("signature") / F.lit(bands)).cast("int")
+    # bucket key = the band's slice itself (joined); no hash needed — equal
+    # slices ARE the LSH collision condition, and the key stays DuckDB-checkable
     banded = sigs.select(
         id_col,
         "signature",
@@ -87,9 +101,8 @@ def minhash_lsh_pairs(
         id_col,
         "signature",
         "band",
-        F.xxhash64(
-            F.col("band"),
-            F.concat_ws("-", F.slice("signature", F.col("band") * rows_per_band + 1, rows_per_band)),
+        F.concat_ws(
+            "-", F.slice("signature", F.col("band") * rows_per_band + 1, rows_per_band)
         ).alias("bucket"),
     )
     a = banded.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "bucket")
@@ -119,6 +132,9 @@ def minhash_dedup(
     return canon.select(F.col("id_b").alias(id_col), "canonical_id")
 
 
+SIMHASH_BITS = 60  # 15 hex chars of sha256 — cross-engine-computable int64
+
+
 def simhash_udf():
     from pyspark.sql.functions import pandas_udf
 
@@ -132,23 +148,74 @@ def simhash_udf():
                 out.append(0)
                 continue
             a = np.asarray(arr, dtype=np.uint64)
-            bits = ((a[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+            bits = (
+                (a[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & np.uint64(1)
+            ).astype(np.int64)
             counts = (2 * bits - 1).sum(axis=0)
             val = 0
-            for i in range(64):
+            for i in range(SIMHASH_BITS):
                 if counts[i] > 0:
                     val |= 1 << i
-            out.append(val - (1 << 64) if val >= (1 << 63) else val)
+            out.append(val)
         return pd.Series(out, dtype="int64")
 
     return simhash
 
 
+def token_hash_col(text_col: str):
+    """array<long> of 60-bit sha256-derived token hashes (JVM codegen; the
+    same value Python's int(sha256.hexdigest()[:15], 16) and DuckDB's
+    ('0x'||substr(sha256(w),1,15))::BIGINT produce — see functions/hashing.py
+    for the rationale)."""
+    toks = F.filter(tokens_column(text_col), lambda t: t != "")
+    return F.transform(
+        toks, lambda t: F.conv(F.substring(F.sha2(t, 256), 1, 15), 16, 10).cast("long")
+    )
+
+
 def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash) — token hashing JVM-side, bit voting in one numpy UDF."""
-    toks = tokens_column(text_col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    return df.select(id_col, simhash_udf()(hashes.alias("h")).alias("simhash"))
+    """(id, simhash) — token hashing JVM-side, bit voting in one numpy UDF.
+    60-bit hashes keep every stage (and the DuckDB oracle) in exact int64."""
+    return df.select(
+        id_col, simhash_udf()(token_hash_col(text_col).alias("h")).alias("simhash")
+    )
+
+
+def simhash_neighbor_pairs(
+    sim: DataFrame, id_col: str = "doc_id", hash_col: str = "simhash",
+    bands: int = 6, max_hamming: int = 5,
+) -> DataFrame:
+    """Banded hamming-distance pair join — the operator that makes SimHash a
+    dedup primitive rather than a fingerprint column.
+
+    Split the 60-bit simhash into ``bands`` equal bit-bands and join on band
+    equality: by pigeonhole, any pair with hamming distance < ``bands`` shares
+    at least one untouched band, so recall is EXACT for
+    ``max_hamming <= bands - 1`` (enforced). Candidates are then verified with
+    ``bit_count(a XOR b) <= max_hamming`` — all JVM expressions. The band join
+    is the scale story: no all-pairs product, buckets shuffle-partitioned,
+    AQE splits hot buckets.
+    """
+    assert max_hamming <= bands - 1, "exact recall needs max_hamming <= bands - 1"
+    assert SIMHASH_BITS % bands == 0, "bands must divide the simhash width"
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    band_vals = F.array(
+        *[F.shiftright(F.col(hash_col), b * width).bitwiseAND(F.lit(mask)) for b in range(bands)]
+    )
+    banded = sim.select(
+        id_col, hash_col, F.posexplode(band_vals).alias("band", "band_val")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"), "band", "band_val")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"), "band", "band_val")
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def ngram_jaccard_pairs(

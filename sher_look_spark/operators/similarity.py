@@ -102,23 +102,61 @@ def lsh_topk(
     return brute_force_topk(cand, query, k, id_col, vec_col)
 
 
+def lsh_multitable_udf(dim: int, n_planes: int, n_tables: int, seed: int = 42):
+    """array<long> of per-table random-hyperplane buckets, one Arrow-batched
+    matmul per batch (OR-construction: a pair is a candidate if ANY table
+    agrees — the knob that trades join fan-out for recall)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    allp = np.concatenate(
+        [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    )  # (n_tables*n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype("int64")
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        bits = (mat @ allp.T) > 0  # (n, n_tables*n_planes)
+        out = [
+            bits[:, t * n_planes : (t + 1) * n_planes] @ weights for t in range(n_tables)
+        ]
+        return pd.Series(np.stack(out, axis=1).tolist())
+
+    return buckets
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    n_planes: int = 12, seed: int = 42,
+    n_planes: int = 12, seed: int = 42, n_tables: int = 1,
 ) -> DataFrame:
     """Near-duplicate detection by cosine: LSH-bucket self-join candidates
-    (same bucket), exact cosine verify >= threshold."""
+    (same bucket in ANY of ``n_tables`` independent bucketings), exact cosine
+    verify >= threshold.
+
+    Recall tuning: P(candidate | cosine c) = 1 - (1 - p^n_planes)^n_tables
+    with p = 1 - acos(c)/pi. For a LOW threshold, use few planes and many
+    tables (e.g. 0.3 -> n_planes=2, n_tables=24: miss ~3e-5 per true pair);
+    the 0.95 default is fine with the single 12-plane table. Deterministic
+    hyperplanes (fixed seed) make recall reproducible run-to-run.
+    """
     dim = len(emb.select(vec_col).first()[0])
-    bucketer = lsh_bucket_udf(dim, n_planes, seed)
-    bucketed = emb.select(id_col, vec_col, bucketer(F.col(vec_col)).alias("bucket"))
-    a = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
-    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    bucketer = lsh_multitable_udf(dim, n_planes, n_tables, seed)
+    bucketed = emb.select(
+        id_col, vec_col, F.posexplode(bucketer(F.col(vec_col))).alias("t", "bucket")
+    )
+    a = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "t", "bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "t", "bucket")
+    pairs = (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .dropDuplicates(["id_a", "id_b"])
     )

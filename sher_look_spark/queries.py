@@ -859,8 +859,9 @@ WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.02
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs (xxhash64 signatures — no SQL analog;
-    rows-only driver check, behavior pinned in tests/test_dedup_similarity.py)."""
+    """MinHash-LSH candidate pairs, fully value-checked: signatures are
+    min-of-salted-sha256-hex slots (computable identically in DuckDB), LSH
+    banding joins on the band slice itself."""
     from sher_look_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -870,11 +871,95 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_dedup_minhash() -> str:
+    return f"""
+WITH {SQL_RAWTOK_CTE},
+toklists AS (
+  SELECT doc_id, list(word ORDER BY position) AS toks FROM rawtok
+  WHERE doc_id < 200 GROUP BY doc_id
+),
+shingles AS MATERIALIZED (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+         i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingle
+  FROM toklists WHERE len(toks) >= 3
+),
+slots AS (
+  SELECT doc_id, p.i, min(substr(sha256('mh42|' || p.i || '|' || shingle), 1, 16)) AS slot
+  FROM shingles CROSS JOIN (SELECT unnest(range(32)) AS i) p
+  GROUP BY doc_id, p.i
+),
+sigs AS MATERIALIZED (SELECT doc_id, list(slot ORDER BY i) AS sig FROM slots GROUP BY doc_id),
+bands AS MATERIALIZED (
+  SELECT doc_id, b.b, array_to_string(list_slice(sig, b.b * 2 + 1, b.b * 2 + 2), '-') AS bucket
+  FROM sigs CROSS JOIN (SELECT unnest(range(16)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_filter(list_transform(range(32), i -> sa.sig[i + 1] = sb.sig[i + 1]),
+                             x -> x))::DOUBLE / 32, 6) AS est_jaccard
+FROM cand JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash per doc (xxhash64-based — rows-only driver check)."""
+    """SimHash per doc — 60-bit sha256-derived token hashes so the DuckDB
+    oracle can replay the per-bit majority vote exactly."""
     from sher_look_spark.operators.dedup import simhash_table
 
     return simhash_table(load(spark, sf_dir, "documents"))
+
+
+def sql_dedup_simhash() -> str:
+    return f"""
+WITH {SQL_RAWTOK_CTE},
+th AS (SELECT doc_id, ('0x' || substr(sha256(word), 1, 15))::BIGINT AS h FROM rawtok),
+bits AS (
+  SELECT doc_id, b.b, sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) b GROUP BY doc_id, b.b
+),
+sh AS (
+  SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(sh.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN sh USING (doc_id)
+"""
+
+
+def q_dedup_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded hamming-neighbor pairs (bands=6 guarantees exact recall
+    for hamming <= 5 by pigeonhole); the oracle is an INDEPENDENT brute-force
+    all-pairs hamming scan, so equality certifies the banding's recall."""
+    from sher_look_spark.operators.dedup import simhash_neighbor_pairs, simhash_table
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sim = simhash_table(docs)
+    return simhash_neighbor_pairs(sim, bands=6, max_hamming=5)
+
+
+def sql_dedup_simhash_neighbors() -> str:
+    return f"""
+WITH {SQL_RAWTOK_CTE},
+th AS (
+  SELECT doc_id, ('0x' || substr(sha256(word), 1, 15))::BIGINT AS h FROM rawtok
+  WHERE doc_id < 300
+),
+bits AS (
+  SELECT doc_id, b.b, sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) b GROUP BY doc_id, b.b
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+"""
 
 
 # ---------------------------------------------------------------- similarity
@@ -899,19 +984,16 @@ LIMIT 10
 
 
 def q_sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine pair similarity >= 0.3 on a subset (oracle-checked)."""
-    from sher_look_spark.operators.similarity import _dot, _norm
+    """Cosine pairs >= 0.3 on vec_id < 150 THROUGH the scalable LSH operator
+    (2 planes x 24 OR-tables: P(miss) ~ 3e-5 per true pair, deterministic
+    hyperplanes). The oracle stays an exact all-pairs scan, so the equality
+    check certifies the LSH candidate set's recall at the checked scale — not
+    a throwaway crossJoin."""
+    from sher_look_spark.operators.similarity import embedding_neardup_pairs
 
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    return (
-        pairs.withColumn("cosine", cos)
-        .filter(F.col("cosine") >= 0.3)
-        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
-    )
+    pairs = embedding_neardup_pairs(emb, threshold=0.3, n_planes=2, n_tables=24)
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
 SQL_SIM_NEARDUP = """
@@ -924,13 +1006,42 @@ WHERE a.vec_id < 150 AND b.vec_id < 150
 
 
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-10 (approximate — rows-only driver check)."""
+    """LSH-bucketed ANN top-10 with hamming-1 multiprobe — value-checked: the
+    oracle embeds the SAME seed-42 hyperplanes as SQL literals and replays
+    bucket assignment + probe filter + cosine re-rank in DuckDB."""
     from sher_look_spark.operators.similarity import lsh_topk
 
     emb = load(spark, sf_dir, "embeddings")
     q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
     top = lsh_topk(emb, q, k=10, n_planes=10, probe_hamming=1)
     return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def sql_sim_lsh_topk(dim: int = 64, n_planes: int = 10, seed: int = 42) -> str:
+    from sher_look_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    rows = ", ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in planes[j])}]::DOUBLE[])"
+        for j in range(n_planes)
+    )
+    return f"""
+WITH planes(j, p) AS (SELECT * FROM (VALUES {rows}) t(j, p)),
+b AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         (SELECT sum(CASE WHEN list_dot_product(embedding::DOUBLE[], p.p) > 0
+                          THEN (1::BIGINT << p.j) ELSE 0 END)::BIGINT
+          FROM planes p) AS bucket
+  FROM embeddings
+),
+q AS (SELECT bucket AS qbucket, embedding::DOUBLE[] AS qe FROM b WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)), 4) AS cosine
+FROM b
+WHERE bit_count(xor(bucket, (SELECT qbucket FROM q))) <= 1
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)) DESC, vec_id
+LIMIT 10
+"""
 
 
 # ----------------------------------------------------------------- text ops
@@ -1154,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_neighbors": q_dedup_simhash_neighbors,
         "sim_topk_cosine": q_sim_topk_cosine,
         "sim_neardup_pairs": q_sim_neardup_pairs,
         "sim_lsh_topk": q_sim_lsh_topk,
@@ -1198,9 +1310,12 @@ def oracle_sql() -> dict[str, str]:
         "q11_snippets": sql_q11(),
         "dedup_exact": SQL_C9,
         "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
-        # dedup_minhash_lsh / dedup_simhash / sim_lsh_topk: xxhash64/LSH — rows-only
+        "dedup_minhash_lsh": sql_dedup_minhash(),
+        "dedup_simhash": sql_dedup_simhash(),
+        "dedup_simhash_neighbors": sql_dedup_simhash_neighbors(),
         "sim_topk_cosine": SQL_SIM_TOPK,
         "sim_neardup_pairs": SQL_SIM_NEARDUP,
+        "sim_lsh_topk": sql_sim_lsh_topk(),
         "text_langid": sql_text_langid(),
         "text_token_count": SQL_TEXT_TOKEN_COUNT,
         "text_quality": sql_text_quality(),
