@@ -60,12 +60,16 @@ def main() -> None:
         print(json.dumps(index_incremental(spark, SnapshotStore(args.state))))
     elif args.mode == "page-rank":
         from sher_look_spark.crawler.storage import SnapshotStore
-        from sher_look_spark.operators.webindex import pagerank_from_links
+        from sher_look_spark.operators.webindex import pagerank_from_links, store_pagerank
 
         store = SnapshotStore(args.state)
         pr = pagerank_from_links(spark, store)
         rel = store.stage_write(pr, "pagerank", 0)
         store.commit(replaces={"pagerank": [rel]})
+        # documents-metadata parity: persist page_rank into documents_meta
+        # (DatabaseHelper.updatePageRank :483) when the index tier has run
+        if store.read(spark, "documents_meta") is not None:
+            store_pagerank(spark, store)
         print(json.dumps({"ranked": pr.count()}))
     elif args.mode == "serve-query":
         from sher_look_spark.operators.webindex import search_pages

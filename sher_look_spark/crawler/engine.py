@@ -75,8 +75,28 @@ class CrawlConfig:
     max_depth: int = 3               # application.properties:12
     queue_cap: int = 50_000          # PersistentQueue.java:22
     per_host_wave_cap: int | None = None  # politeness budget; None = fidelity mode
+    # Time-based politeness (reference: 1 s sleep per fetch per thread,
+    # CrawlTask.java:182). A wave models a `wave_budget_s`-second quantum;
+    # each host serves at most floor(wave_budget_s / crawl_delay_s) fetches
+    # per wave at scheduled_slot = host_slot * crawl_delay_s (SURVEY C7).
+    # Overflow candidates are DEFERRED to the next wave, never dropped.
+    crawl_delay_s: float | None = None
+    wave_budget_s: float = 60.0
     fetch_partitions: int | None = None   # salt width for the fetch stage
     store_html: bool = True               # keep page HTML (enables the index tier)
+    # Salted-partition bloom front for the URL-seen check (functions/bloom.py).
+    # With the bloom on, the `seen` table is scanned but NEVER shuffled: the
+    # bloom answers "definitely new" for most candidates; the few "maybe seen"
+    # do an exact broadcast semi-join. Exactness is unconditional (bloom is a
+    # pre-filter; false positives go to the exact check).
+    use_bloom: bool = True
+    bloom_salts: int = 32            # one bitmap per salt; scale knob (4096 at 10^10)
+    bloom_bits: int = 1 << 20        # bits per salt bitmap (~2.6M urls total at 1% fp)
+    # Activation threshold: below this many seen URLs a plain anti-join beats
+    # the bloom's fixed per-wave cost (bitmap load + merge + extra jobs), so
+    # the filter engages only once `seen` outgrows broadcast scale. Crossing
+    # the threshold triggers the automatic one-time full rebuild.
+    bloom_min_seen: int = 2_000_000
     web: synth.SynthWebConfig = field(default_factory=synth.SynthWebConfig)
 
 
@@ -186,6 +206,51 @@ def _dense_rank_sorted(df: DataFrame, sort_cols: list, out_col: str, offset: int
     return out, sdf, base - offset  # (ranked df, persist handle, total rows)
 
 
+def _running_prefix_min(df: DataFrame, sort_cols: list, val_col: str) -> tuple:
+    """Global running min of `val_col` in `sort_cols` order, scale-safe (the
+    same two-pass shape as _dense_rank_sorted): range-repartition on the sort
+    keys, per-partition window running-min, then fold in the driver-combined
+    minima of all earlier partitions (one tiny collect).
+
+    Adds two columns: `_rmin` (inclusive running min) and `_rmin_prev`
+    (exclusive: min over strictly-earlier rows; null for the global first row).
+    Returns (df, persist_handle)."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    nparts = max(spark.sparkContext.defaultParallelism, 2)
+    sdf = (
+        df.repartitionByRange(nparts, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    pmins = {
+        r._pid: r.m
+        for r in sdf.groupBy("_pid").agg(F.min(val_col).alias("m")).collect()
+    }
+    before: dict[int, int | None] = {}
+    run = None
+    for pid in sorted(pmins):
+        before[pid] = run
+        run = pmins[pid] if run is None else min(run, pmins[pid])
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), before[p]) for p in before], "_pid int, _before long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(*sort_cols)
+    w_excl = w.rowsBetween(Window.unboundedPreceding, -1)
+    out = (
+        sdf.join(off_df, "_pid")
+        # F.least skips nulls (returns the smallest non-null argument)
+        .withColumn("_rmin", F.least(F.min(val_col).over(w), F.col("_before")))
+        .withColumn("_rmin_prev", F.least(F.min(val_col).over(w_excl), F.col("_before")))
+        .drop("_pid", "_before")
+    )
+    return out, sdf
+
+
 class CrawlEngine:
     def __init__(self, spark: SparkSession, state_dir: str, cfg: CrawlConfig):
         self.spark = spark
@@ -212,6 +277,124 @@ class CrawlEngine:
                 "pending_depths": {"0": len(seeds)},
             },
         )
+
+    # ---------------------------------------------------- URL-seen + bloom (C4)
+    def _load_blooms(self, state: dict) -> dict[int, bytes] | None:
+        """The merged salt->bitmap map from the latest snapshot, or None when
+        the bloom is disabled / absent / built with different parameters (a
+        None forces the plain anti-join this wave and a full rebuild at
+        commit, so resume from pre-bloom snapshots stays exact)."""
+        if not self.cfg.use_bloom:
+            return None
+        meta = state.get("bloom")
+        if (
+            not meta
+            or meta.get("salts") != self.cfg.bloom_salts
+            or meta.get("bits") != self.cfg.bloom_bits
+        ):
+            return None
+        df = self.store.read(self.spark, "seen_bloom")
+        if df is None:
+            return None
+        return {r.salt: bytes(r.bitmap) for r in df.collect()}
+
+    def _seen_filter(self, winners: DataFrame, seen: DataFrame | None, blooms) -> DataFrame:
+        """Drop already-seen URLs without ever shuffling the seen table.
+
+        Bloom path: candidates test their salt's bitmap in an Arrow batch;
+        "definitely new" rows (no false negatives) skip the exact check. The
+        few "maybe seen" rows verify via seen ⋉ broadcast(suspects) followed
+        by an anti-join against the (small, broadcast) hit set — the 10^10-row
+        seen table is only ever SCANNED. Reference analog: the in-memory
+        cheap-check before the DB lookup (CrawlTask.java:82-93)."""
+        if seen is None:
+            return winners
+        if blooms is None:
+            return winners.join(seen.select("url_hash"), "url_hash", "left_anti")
+        n_salts = self.cfg.bloom_salts
+        bc = self.spark.sparkContext.broadcast(blooms)
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(T.BooleanType())
+        def maybe_seen(hashes: pd.Series) -> pd.Series:
+            import numpy as np
+
+            from sher_look_spark.functions import bloom as B
+
+            maps = {s: np.frombuffer(b, dtype=np.uint8) for s, b in bc.value.items()}
+            h = hashes.to_numpy(dtype="int64").astype("uint64")
+            out = np.zeros(len(h), dtype=bool)  # absent salt bitmap == nothing seen there
+            salts = (h % np.uint64(n_salts)).astype("int64")
+            for s in np.unique(salts):
+                m = maps.get(int(s))
+                if m is not None:
+                    mask = salts == s
+                    out[mask] = B.might_contain(m, h[mask])
+            return pd.Series(out)
+
+        flagged = winners.withColumn("_maybe", maybe_seen("url_hash"))
+        suspects = flagged.filter(F.col("_maybe"))
+        fresh = flagged.filter(~F.col("_maybe"))
+        hits = seen.select("url_hash").join(
+            F.broadcast(suspects.select("url_hash")), "url_hash", "left_semi"
+        )
+        cleared = suspects.join(F.broadcast(hits), "url_hash", "left_anti")
+        return fresh.unionByName(cleared).drop("_maybe")
+
+    def _build_bloom(self, hashes_df: DataFrame) -> dict[int, bytes]:
+        """Executor-side salted bloom build: one bitmap per salt partition via
+        grouped applyInPandas (numpy bit-sets over Arrow batches)."""
+        n_salts, n_bits = self.cfg.bloom_salts, self.cfg.bloom_bits
+
+        def build(key, pdf):
+            from sher_look_spark.functions import bloom as B
+
+            bm = B.empty_bitmap(n_bits)
+            B.add_hashes(bm, pdf["url_hash"].to_numpy("int64").astype("uint64"))
+            return pd.DataFrame({"salt": [int(key[0])], "bitmap": [bm.tobytes()]})
+
+        rows = (
+            hashes_df.select(
+                "url_hash", F.pmod("url_hash", F.lit(n_salts)).cast("int").alias("salt")
+            )
+            .groupBy("salt")
+            .applyInPandas(build, "salt int, bitmap binary")
+            .collect()
+        )
+        return {r.salt: bytes(r.bitmap) for r in rows}
+
+    def _stage_bloom(
+        self, blooms: dict[int, bytes] | None, seen: DataFrame | None,
+        seen_add: DataFrame, wave: int,
+    ) -> str:
+        """Merge the wave's seen additions into the salt bitmaps and stage the
+        REPLACEMENT seen_bloom table (n_salts rows, a few MiB — the parquet
+        stand-in for an Iceberg rewrite of a tiny metadata table)."""
+        import numpy as np
+
+        from sher_look_spark.functions import bloom as B
+
+        if blooms is None and seen is not None:
+            # resume from a pre-bloom snapshot (or resized filter): one-time
+            # rebuild over the full seen table
+            base_df = seen.select("url_hash").unionByName(seen_add.select("url_hash"))
+        else:
+            base_df = seen_add.select("url_hash")
+        add = self._build_bloom(base_df)
+        merged = dict(blooms or {})
+        for s, b in add.items():
+            if s in merged:
+                merged[s] = B.merge_bitmaps(
+                    np.frombuffer(merged[s], dtype=np.uint8).copy(),
+                    np.frombuffer(b, dtype=np.uint8),
+                ).tobytes()
+            else:
+                merged[s] = b
+        df = self.spark.createDataFrame(
+            [(int(s), bytearray(b)) for s, b in sorted(merged.items())],
+            "salt int, bitmap binary",
+        )
+        return self.store.stage_write(df, "seen_bloom", wave)
 
     # ------------------------------------------------------------- robots (C5)
     def _resolve_robots(self, cand: DataFrame) -> DataFrame:
@@ -313,20 +496,39 @@ class CrawlEngine:
             .withColumn("path", F.coalesce(F.parse_url("norm", F.lit("PATH")), F.lit("")))
         ).persist()
 
-        # --- C4: within-wave first-rank-wins + anti-join the URL-seen set
+        # --- C4: within-wave first-rank-wins + URL-seen check (bloom-fronted)
         w_url = Window.partitionBy("url_hash").orderBy("rank")
         winners = cand.withColumn("rn", F.row_number().over(w_url)).filter(F.col("rn") == 1).drop("rn")
         seen = self.store.read(self.spark, "seen")
-        if seen is not None:
-            winners = winners.join(seen.select("url_hash"), "url_hash", "left_anti")
+        bloom_on = (
+            self.cfg.use_bloom
+            and state.get("seen_rows_ub", 0) >= self.cfg.bloom_min_seen
+        )
+        blooms = self._load_blooms(state) if bloom_on else None
+        winners = self._seen_filter(winners, seen, blooms)
 
-        # --- C7: optional per-host politeness budget (deferred, not dropped)
+        # --- C7: optional per-host politeness budget (deferred, not dropped).
+        # A direct cap (per_host_wave_cap) or a crawl-delay time budget — the
+        # time budget converts to slots/wave and stamps each fetch's
+        # scheduled_slot offset within the wave quantum.
         deferred = None
-        if self.cfg.per_host_wave_cap is not None:
+        slots = None
+        host_cap = self.cfg.per_host_wave_cap
+        if host_cap is None and self.cfg.crawl_delay_s is not None:
+            host_cap = max(1, int(self.cfg.wave_budget_s / self.cfg.crawl_delay_s))
+        if host_cap is not None:
             w_host = Window.partitionBy("host").orderBy("rank")
             winners = winners.withColumn("host_slot", F.row_number().over(w_host))
-            deferred = winners.filter(F.col("host_slot") > self.cfg.per_host_wave_cap)
-            winners = winners.filter(F.col("host_slot") <= self.cfg.per_host_wave_cap).drop("host_slot")
+            deferred = winners.filter(F.col("host_slot") > host_cap)
+            winners = winners.filter(F.col("host_slot") <= host_cap)
+            if self.cfg.crawl_delay_s is not None:
+                slots = winners.select(
+                    "rank",
+                    ((F.col("host_slot") - 1) * float(self.cfg.crawl_delay_s)).alias(
+                        "scheduled_slot"
+                    ),
+                )
+            winners = winners.drop("host_slot")
 
         # --- C5/C6: robots rules join + allow filter. Only the WAVE's hosts'
         # rules are broadcast — broadcasting the whole accumulated robots
@@ -392,14 +594,14 @@ class CrawlEngine:
                 F.col("rank").alias("parent_rank"),
                 F.posexplode("links").alias("link_pos", "href"),
             )
-            children = (
+            children_all = (
                 exploded.withColumn("child", self._canon("parent_url", "href"))
                 .filter(F.col("child").isNotNull())
             )
-            # offer() pair-dedup: first (parent_rank, link_pos) wins per child URL
-            w_child = Window.partitionBy("child").orderBy("parent_rank", "link_pos")
-            children = children.withColumn("crn", F.row_number().over(w_child)).filter(F.col("crn") == 1).drop("crn")
-            # dedup vs URLs still pending at other depths (uncrawledSet semantics)
+            # dedup vs URLs still pending at other depths (uncrawledSet
+            # semantics): an offer colliding with a QUEUED pair is a no-op
+            # regardless of the cap state, so this anti-join commutes with
+            # cap admission
             others = rest_pending
             if deferred is not None:
                 others = others.unionByName(
@@ -411,18 +613,29 @@ class CrawlEngine:
                 pend_pairs = others.filter(F.col("depth") == min_depth + 1).select(
                     F.col("url").alias("child")
                 )
-                children = children.join(pend_pairs, "child", "left_anti")
-            children = children.persist()
+                children_all = children_all.join(pend_pairs, "child", "left_anti")
 
             # queue cap (PersistentQueue.java:22,97): accept-all fast path when
             # the cap cannot bind (raw link count bounds accepted children);
-            # exact sequential replay otherwise.
+            # exact DISTRIBUTED admission replay otherwise.
             if n_pending_total + n_raw_links > self.cfg.queue_cap:
+                polled_wave = wave_cand
+                if deferred is not None:
+                    polled_wave = polled_wave.join(
+                        deferred.select("rank"), "rank", "left_anti"
+                    )
                 accepted = self._apply_queue_cap_exact(
-                    wave_cand, n_pending_total, committed, children
+                    polled_wave, n_pending_total, children_all
                 )
             else:
-                accepted = children
+                # offer() pair-dedup: first (parent_rank, link_pos) wins
+                w_child = Window.partitionBy("child").orderBy("parent_rank", "link_pos")
+                accepted = (
+                    children_all.withColumn("crn", F.row_number().over(w_child))
+                    .filter(F.col("crn") == 1)
+                    .drop("crn")
+                )
+            accepted = accepted.persist()
 
             # links table: per-parent distinct children sorted by URL length
             # (stable on document order), limited per parent depth (C11)
@@ -469,11 +682,17 @@ class CrawlEngine:
             _rank_tmp = None
             n_accepted = 0
 
-        # --- visited set additions: everything polled before the stop
+        # --- visited set additions: everything polled before the stop.
+        # Politeness-DEFERRED candidates were never polled (they stay queued),
+        # so they must NOT enter the seen set — otherwise the next wave's
+        # seen filter would drop them unfetched.
         polled = cand if stop_rank is None else cand.filter(F.col("rank") <= stop_rank)
+        if deferred is not None:
+            polled = polled.join(deferred.select("rank"), "rank", "left_anti")
         seen_add = polled.select("url_hash", F.col("norm").alias("url")).distinct()
         if seen is not None:
             seen_add = seen_add.join(seen.select("url_hash"), "url_hash", "left_anti")
+        seen_add = seen_add.persist()  # consumed by the seen write AND the bloom build
 
         # --- leftover pending (unpolled due to budget stop) + politeness
         # deferrals; depth histogram maintained incrementally so the next wave
@@ -499,38 +718,61 @@ class CrawlEngine:
         for extra in leftovers:
             pending_next = pending_next.unionByName(extra)
 
-        # --- C12/C13: stage everything, then one atomic snapshot commit
+        # --- C12/C13: stage everything, then one atomic snapshot commit.
+        # documents-metadata parity (reference schema.sql:4-15): crawl_time
+        # stamps the wave; index_time starts NULL and is set by the index
+        # tier; scheduled_slot records the politeness offset when time-budget
+        # politeness is on.
         images_df = committed.select(
             self._imgid("url").alias("image_id"),
             "url", "depth", "rank", "title", "description", "content_hash",
             "bytes", "w", "h", "fmt", "caption", "phash",
             F.lit(wave).alias("wave"),
+            F.current_timestamp().alias("crawl_time"),
         )
+        if slots is not None:
+            images_df = images_df.join(F.broadcast(slots), "rank", "left")
+        else:
+            images_df = images_df.withColumn(
+                "scheduled_slot", F.lit(None).cast("double")
+            )
         # All staged writes are independent — submit them concurrently (Spark
         # schedules concurrent jobs fine); the snapshot commit below is the
         # only serialization point. Cuts the per-wave serial constant by the
         # sum of the smaller writes' wall times.
         from concurrent.futures import ThreadPoolExecutor
 
+        seen_salted = seen_add.withColumn(
+            "salt", F.pmod("url_hash", F.lit(self.cfg.bloom_salts)).cast("int")
+        )
         write_jobs: dict[str, tuple] = {
-            "images": (images_df, "images", wave),
-            "seen": (seen_add, "seen", wave),
-            "seen_hashes": (committed_slim.select("content_hash"), "seen_hashes", wave),
-            "pending": (pending_next, "pending", wave + 1),
-            "robots": (robots_new, "robots", wave),
+            "images": (images_df, "images", wave, None),
+            # seen is hive-partitioned by salt — the parquet stand-in for
+            # Iceberg bucketing, so scans prune to touched salt partitions
+            "seen": (seen_salted, "seen", wave, ["salt"]),
+            "seen_hashes": (committed_slim.select("content_hash"), "seen_hashes", wave, None),
+            "pending": (pending_next, "pending", wave + 1, None),
+            "robots": (robots_new, "robots", wave, None),
         }
         if self.cfg.store_html:
             write_jobs["pages"] = (
                 committed.select("url", "depth", "rank", "html", F.lit(wave).alias("wave")),
                 "pages",
                 wave,
+                None,
             )
-        with ThreadPoolExecutor(max_workers=len(write_jobs)) as pool:
+        with ThreadPoolExecutor(max_workers=len(write_jobs) + 1) as pool:
             futures = {
-                name: pool.submit(self.store.stage_write, df, table, w)
-                for name, (df, table, w) in write_jobs.items()
+                name: pool.submit(self.store.stage_write, df, table, w, pb)
+                for name, (df, table, w, pb) in write_jobs.items()
             }
+            bloom_fut = (
+                pool.submit(self._stage_bloom, blooms, seen, seen_add, wave)
+                if bloom_on
+                else None
+            )
             rels = {name: fut.result() for name, fut in futures.items()}
+            bloom_rel = bloom_fut.result() if bloom_fut is not None else None
         _mark("table_writes")
         appends: dict[str, list[str]] = {
             "images": [rels["images"]],
@@ -542,6 +784,9 @@ class CrawlEngine:
             appends["pages"] = [rels["pages"]]
         if links_rel is not None:
             appends["links"] = [links_rel]
+        # per-wave lineage + metrics live in the snapshot manifest itself (one
+        # snapshot per wave = the full history) — a table write per wave would
+        # only add a serial job to every wave
         metrics_row = {
             "wave": wave,
             "depth": int(min_depth),
@@ -551,18 +796,25 @@ class CrawlEngine:
             "secs": float(time.time() - t0),
             "phases": str(phase_secs),
         }
-        metrics_df = self.spark.createDataFrame([metrics_row])
-        appends["metrics"] = [self.store.stage_write(metrics_df, "metrics", wave)]
 
         replaces = {"pending": [rels["pending"]]}
+        if bloom_rel is not None:
+            replaces["seen_bloom"] = [bloom_rel]
         new_state = {
             "wave": wave + 1,
             "committed": committed_total + n_committed,
             "next_rank": int(next_rank),
             "stopped_by_budget": stop_rank is not None,
             "pending_depths": {str(d): int(n) for d, n in next_depths.items() if n > 0},
+            # upper bound on |seen| (distinct polled <= polled): drives the
+            # bloom activation threshold without a counting job
+            "seen_rows_ub": state.get("seen_rows_ub", 0) + int(n_wave),
         }
+        if bloom_rel is not None:
+            new_state["bloom"] = {"salts": self.cfg.bloom_salts, "bits": self.cfg.bloom_bits}
+        new_state["metrics"] = metrics_row
         self.store.commit(appends=appends, replaces=replaces, state=new_state)
+        seen_add.unpersist()
         pending.unpersist()
         cand.unpersist()
         fetched.unpersist()
@@ -584,41 +836,97 @@ class CrawlEngine:
 
         return imgid(col)
 
-    def _apply_queue_cap_exact(self, wave_cand, n_pending_total, committed, children) -> DataFrame:
-        """Exact sequential replay of offer()'s queue-size cap (rare path).
+    def _apply_queue_cap_exact(
+        self, polled_wave: DataFrame, n_pending_total: int, children_all: DataFrame
+    ) -> DataFrame:
+        """Distributed replay of offer()'s queue-size cap (PersistentQueue.java:22,97).
 
-        Only runs when pending+children could exceed queue_cap; replays the
-        FIFO event order on the driver (bounded by the cap itself: <=50k rows
-        of state) and returns the accepted child rows.
+        Sequential semantics being replayed: polls (in rank order) free one
+        slot each BEFORE their parent's offers; an offer colliding with a
+        queued pair is a no-op (handled upstream); otherwise it is accepted
+        iff queue_size < cap at offer time.
+
+        Closed-form greedy admission: order the live offers by
+        (parent_rank, link_pos) with dense 1-based index i and per-offer
+        budget b_i = cap - n0 + polls(i) (non-decreasing, because polls is).
+        The accepted count after offer i is
+            A_i = min(i, i + min_{j<=i}(max(b_j, 0) - j)),
+        and offer i is accepted iff A_i > A_{i-1}. Both the dense index and
+        the prefix min run on the two-pass range-partition machinery — no
+        single-reducer window and no driver materialization of children (the
+        previous implementation pulled every child row through toPandas,
+        which OOMs the driver on a cap-binding wave at web scale).
+
+        Re-offer fixpoint: the reference queue pair-dedups only QUEUED
+        entries, so a child whose occurrence was rejected at a full queue is
+        offered again at its next occurrence once polls free slots. Rejected
+        occurrences are burned and admission re-runs; removing rejected
+        offers never changes other decisions (they consume no slot), so each
+        round only adds later occurrences of burned children, and the loop
+        stops when no rejected child has a further occurrence. Equality with
+        a pure sequential replay is pinned by tests/test_queue_cap.py.
         """
-        import pandas as pdlib
-
         cap = self.cfg.queue_cap
-        # Every pending entry occupies a queue slot, including URLs that fail
-        # normalization (they are polled and discarded); replay over the full
-        # wave in rank order.
-        cand_rows = wave_cand.select("rank").orderBy("rank").toPandas()
-        commit_ranks = set(
-            r.rank for r in committed.select("rank").collect()
+        polls_df, _polls_handle, _ = _dense_rank_sorted(
+            polled_wave.select("rank"), ["rank"], "_polls", 1
         )
-        child_pdf = children.select(
-            "parent_rank", "link_pos", "child", "parent_url", "parent_depth"
-        ).orderBy("parent_rank", "link_pos").toPandas()
-        by_parent: dict[int, list] = {}
-        for row in child_pdf.itertuples():
-            by_parent.setdefault(row.parent_rank, []).append(row)
-        queue_size = int(n_pending_total)
-        accepted_keys = []
-        for parent_rank in cand_rows["rank"]:
-            queue_size -= 1  # poll
-            if parent_rank in commit_ranks:
-                for row in by_parent.get(parent_rank, []):
-                    if queue_size < cap:
-                        accepted_keys.append((row.parent_rank, row.link_pos))
-                        queue_size += 1
-        keep = pdlib.DataFrame(accepted_keys, columns=["parent_rank", "link_pos"])
-        keep_df = self.spark.createDataFrame(keep, "parent_rank long, link_pos int")
-        return children.join(keep_df, ["parent_rank", "link_pos"], "left_semi")
+        occ = children_all.join(
+            polls_df.withColumnRenamed("rank", "parent_rank"), "parent_rank"
+        ).persist()
+        w_child = Window.partitionBy("child").orderBy("parent_rank", "link_pos")
+        burned: DataFrame | None = None
+        accepted: DataFrame | None = None
+        spent_handles: list[DataFrame] = []
+        for _round in range(64):
+            live = occ
+            if burned is not None:
+                live = live.join(burned, ["parent_rank", "link_pos"], "left_anti")
+            cand = (
+                live.withColumn("_crn", F.row_number().over(w_child))
+                .filter(F.col("_crn") == 1)
+                .drop("_crn")
+            )
+            ranked, h1, _n = _dense_rank_sorted(cand, ["parent_rank", "link_pos"], "_i", 1)
+            g = ranked.withColumn(
+                "_g",
+                F.greatest(F.lit(cap - n_pending_total) + F.col("_polls"), F.lit(0))
+                - F.col("_i"),
+            )
+            scanned, h2 = _running_prefix_min(g, ["parent_rank", "link_pos"], "_g")
+            a_cur = F.least(F.col("_i"), F.col("_i") + F.col("_rmin"))
+            a_prev = F.when(F.col("_rmin_prev").isNull(), F.lit(0)).otherwise(
+                F.least(F.col("_i") - 1, F.col("_i") - 1 + F.col("_rmin_prev"))
+            )
+            flagged = scanned.withColumn("_acc", a_cur > a_prev).persist()
+            rejected = flagged.filter(~F.col("_acc"))
+            accepted = flagged.filter(F.col("_acc")).drop(
+                "_i", "_g", "_rmin", "_rmin_prev", "_acc", "_polls"
+            )
+            burned_new = rejected.select("parent_rank", "link_pos")
+            burned = (
+                burned_new if burned is None else burned.unionByName(burned_new)
+            )
+            # materialize + cut lineage: otherwise round r re-evaluates every
+            # prior round's plan through the unioned anti-join chain
+            burned = burned.localCheckpoint(eager=True)
+            # continue only if some rejected child re-offers at a later occurrence
+            live_next = occ.join(burned, ["parent_rank", "link_pos"], "left_anti")
+            n_reoffer = live_next.join(
+                rejected.select("child"), "child", "left_semi"
+            ).count()
+            for h in spent_handles:
+                h.unpersist()
+            spent_handles = [h1, h2, flagged]
+            if n_reoffer == 0:
+                break
+        else:
+            raise RuntimeError("queue-cap admission did not converge in 64 rounds")
+        # accepted is bounded by the cap itself — materialize it, then release
+        # every intermediate cache
+        accepted = accepted.localCheckpoint(eager=True)
+        for h in spent_handles + [occ, _polls_handle]:
+            h.unpersist()
+        return accepted
 
     # ---------------------------------------------------------------- driving
     def run(self, seeds: list[str] | None = None, max_waves: int = 100) -> dict:

@@ -91,35 +91,74 @@ def index_pages(pages: DataFrame) -> dict[str, DataFrame]:
 
 def index_incremental(spark: SparkSession, store: SnapshotStore) -> dict[str, int]:
     """I1: the reference's `index` run mode — index only documents whose
-    index_time is NULL (DatabaseHelper.java:122-135), i.e. pages not yet in
-    the store's `indexed` table. Appends postings/doc-metadata and records
-    index progress in the snapshot (idempotent across crashes: the manifest
-    commit is atomic)."""
+    index_time IS NULL (DatabaseHelper.java:122-135). The crawled-docs view
+    left-joins `documents_meta`; rows with a NULL index_time are the to-do
+    set, exactly the reference's predicate (no side table). Appended meta
+    rows carry the reference's documents-table columns (schema.sql:4-15):
+    crawl_time (from the crawl tier), index_time (stamped here),
+    document_size; page_rank is filled by store_pagerank. Idempotent across
+    crashes: the manifest commit is atomic."""
     pages = store.read(spark, "pages")
     if pages is None:
         return {"indexed": 0}
-    already = store.read(spark, "indexed")
+    meta = store.read(spark, "documents_meta")
     todo = pages
-    if already is not None:
-        todo = pages.join(already.select("url"), "url", "left_anti")
+    if meta is not None:
+        docview = pages.join(
+            meta.select("url", "index_time"), "url", "left"
+        )
+        todo = docview.filter(F.col("index_time").isNull()).drop("index_time")
     todo = todo.persist()
     n = todo.count()
     if n == 0:
         todo.unpersist()
         return {"indexed": 0}
     idx = index_pages(todo)
+    images = store.read(spark, "images")
+    new_meta = idx["documents_meta"].join(
+        idx["doc_sizes"], "doc_id", "left"
+    ).withColumn("index_time", F.current_timestamp())
+    if images is not None and "crawl_time" in images.columns:
+        new_meta = new_meta.join(images.select("url", "crawl_time"), "url", "left")
+    else:
+        new_meta = new_meta.withColumn("crawl_time", F.lit(None).cast("timestamp"))
+    new_meta = new_meta.withColumn("page_rank", F.lit(None).cast("double")).select(
+        "doc_id", "url", "title", "description", "document_size",
+        "crawl_time", "index_time", "page_rank",
+    )
     snap = store.latest()
     wave = (snap.state.get("index_runs", 0) if snap else 0) + 1
     appends = {
         "postings": [store.stage_write(idx["postings"], "postings", wave)],
-        "documents_meta": [store.stage_write(idx["documents_meta"], "documents_meta", wave)],
-        "indexed": [store.stage_write(todo.select("url"), "indexed", wave)],
+        "documents_meta": [store.stage_write(new_meta, "documents_meta", wave)],
     }
     state = dict(snap.state) if snap else {}
     state["index_runs"] = wave
     store.commit(appends=appends, state=state)
     todo.unpersist()
     return {"indexed": n}
+
+
+def store_pagerank(spark: SparkSession, store: SnapshotStore) -> DataFrame:
+    """The reference's `page-rank` run mode: compute PageRank over the link
+    graph and persist it into the documents metadata (the distributed MERGE
+    analog of DatabaseHelper.updatePageRank :483). Rewrites documents_meta
+    with the page_rank column filled; returns the new meta frame."""
+    meta = store.read(spark, "documents_meta")
+    if meta is None:
+        raise ValueError("run index_incremental before page-rank")
+    pr = pagerank_from_links(spark, store)
+    new_meta = (
+        meta.drop("page_rank")
+        .join(pr.withColumnRenamed("id", "doc_id").withColumnRenamed("rank", "page_rank"),
+              "doc_id", "left")
+        .select(*meta.columns)
+    )
+    snap = store.latest()
+    wave = (snap.state.get("index_runs", 0) if snap else 0)
+    rel = store.stage_write(new_meta, "documents_meta", wave)
+    store.commit(replaces={"documents_meta": [rel]}, state=dict(snap.state))
+    return store.read(spark, "documents_meta")
 
 
 def pagerank_from_links(spark: SparkSession, store: SnapshotStore) -> DataFrame:

@@ -18,6 +18,7 @@ import pandas as pd  # noqa: F401 — pandas-UDF type hints resolve against modu
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from sher_look_spark.functions.robots import robots_allowed_udf, rule_to_regex
 from sher_look_spark.functions.text import TOKEN_SPLIT_RE, stop_words
@@ -317,6 +318,286 @@ SELECT doc_id,
          ELSE 'http://' || lower(source) || '.test/rooted/' || doc_id || '?keep=2'
        END AS child_url
 FROM documents
+"""
+
+
+# Synthetic-web configs for the crawl-tier end-to-end oracles. The oracle SQL
+# is generated from the INDEPENDENT pure-Python reference simulator (and from
+# string-reconstructed synth semantics), so these rows genuinely discriminate.
+import sher_look_spark.crawler.synth as synth  # noqa: E402
+
+FETCH_WEB = synth.SynthWebConfig(n_hosts=6, pages_per_host=10, seed=4242, dup_every=7, timeout_pct=4)
+CRAWL_WEB = synth.SynthWebConfig(
+    n_hosts=5, pages_per_host=8, seed=4242, timeout_pct=5, dup_every=4, robots_every=3
+)
+CRAWL_SEEDS = synth.seed_urls(CRAWL_WEB, 4)
+
+
+def q_c8_fetch_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: the REAL batched Arrow fetch mapper over a (host, page) grid derived
+    from doc_ids; the oracle reconstructs status/title/caption from the synth
+    web's sha256 semantics in SQL (timeout decision, duplicate-content key,
+    vocab word picks) — full cross-engine parity for the fetch path."""
+    from sher_look_spark.crawler.engine import FETCH_SCHEMA, _make_fetch_mapper
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+    frontier = docs.select(
+        F.format_string(
+            "http://host%04d.test/page/%d",
+            (F.col("doc_id") % FETCH_WEB.n_hosts).cast("int"),
+            (F.col("doc_id") % FETCH_WEB.pages_per_host).cast("int"),
+        ).alias("url"),
+        F.lit(0).alias("depth"),
+        F.col("doc_id").alias("rank"),
+    )
+    fetched = frontier.mapInPandas(_make_fetch_mapper(FETCH_WEB), FETCH_SCHEMA)
+    return fetched.select(
+        F.col("rank").alias("doc_id"), "status", "title", "caption"
+    )
+
+
+def sql_c8() -> str:
+    nh, pp, seed = FETCH_WEB.n_hosts, FETCH_WEB.pages_per_host, FETCH_WEB.seed
+    de, tp = FETCH_WEB.dup_every, FETCH_WEB.timeout_pct
+    vocab = "', '".join(synth._VOCAB)
+    nv = len(synth._VOCAB)
+    return f"""
+WITH grid AS (
+  SELECT doc_id, doc_id % {nh} AS i, doc_id % {pp} AS j FROM documents WHERE doc_id < 240
+),
+keyed AS (
+  SELECT doc_id, i, j,
+         ('0x' || substr(sha256('{seed}|timeout|' || i || '|' || j), 1, 16))::UBIGINT % 100 < {tp} AS t_out,
+         i AS ci, CASE WHEN j > 0 AND j % {de} = 0 THEN j - 1 ELSE j END AS cj
+  FROM grid
+),
+vocab AS (SELECT w, row_number() OVER () AS rn FROM (SELECT unnest(['{vocab}']) AS w)),
+caps AS (
+  SELECT k.doc_id, string_agg(v.w, ' ' ORDER BY g.k) AS capwords
+  FROM keyed k
+  CROSS JOIN (SELECT unnest(range(4)) AS k) g
+  JOIN vocab v ON v.rn = 1 + (('0x' || substr(sha256('{seed}|cap|' || k.ci || '|' || k.cj || '|' || g.k), 1, 16))::UBIGINT % {nv})
+  GROUP BY k.doc_id
+)
+SELECT k.doc_id,
+       CASE WHEN k.t_out THEN 'timeout' ELSE 'ok' END AS status,
+       CASE WHEN k.t_out THEN NULL
+            ELSE 'Synthetic page ' || k.cj || ' of host ' || k.ci END AS title,
+       CASE WHEN k.t_out THEN NULL
+            ELSE 'img host' || k.ci || ' page' || k.cj || ' ' || c.capwords END AS caption
+FROM keyed k JOIN caps c USING (doc_id)
+"""
+
+
+def _crawl_commit_seq(spark: SparkSession, eng) -> DataFrame:
+    from pyspark.sql import Window
+
+    imgs = eng.store.read(spark, "images")
+    w = Window.orderBy("wave", "rank")  # bounded by the tiny oracle crawl
+    return imgs.select("wave", "rank", "url").withColumn(
+        "commit_seq", F.row_number().over(w) - 1
+    ).select("commit_seq", "url")
+
+
+def _sql_crawl_order() -> str:
+    from sher_look_spark.crawler.simulator import simulate_crawl
+
+    sim = simulate_crawl(CRAWL_WEB, CRAWL_SEEDS, max_pages=10_000, max_depth=2)
+    vals = ", ".join(f"({i}, '{c['url']}')" for i, c in enumerate(sim.committed))
+    return f"SELECT * FROM (VALUES {vals}) AS t(commit_seq, url)"
+
+
+def q_c14_crawl_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14: full wave-engine crawl on the deterministic synthetic web; the
+    oracle is a VALUES literal emitted by the single-threaded reference
+    simulator (pure Python, no Spark) — an end-to-end BFS-order equality
+    check through normalize/seen/robots/fetch/dedup/link semantics."""
+    import tempfile
+
+    from sher_look_spark.crawler.engine import CrawlConfig, CrawlEngine
+
+    eng = CrawlEngine(
+        spark, tempfile.mkdtemp(prefix="c14-"),
+        CrawlConfig(max_pages=10_000, max_depth=2, web=CRAWL_WEB, store_html=False),
+    )
+    eng.run(CRAWL_SEEDS)
+    return _crawl_commit_seq(spark, eng)
+
+
+def q_c13_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13: crash/resume — run one wave, drop the engine, resume from the
+    snapshot store with a fresh instance, finish the crawl. The final commit
+    order must equal the UNINTERRUPTED reference simulation (same oracle as
+    c14), proving snapshot checkpointing is exact."""
+    import tempfile
+
+    from sher_look_spark.crawler.engine import CrawlConfig, CrawlEngine
+
+    state = tempfile.mkdtemp(prefix="c13-")
+    cfg = CrawlConfig(max_pages=10_000, max_depth=2, web=CRAWL_WEB, store_html=False)
+    eng1 = CrawlEngine(spark, state, cfg)
+    eng1.seed(CRAWL_SEEDS)
+    eng1.run_wave()
+    eng2 = CrawlEngine(spark, state, cfg)  # "crash": rebuild from disk alone
+    eng2.run()
+    return _crawl_commit_seq(spark, eng2)
+
+
+# ------------------------------------------------------------------ streaming
+
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: event-time 1h windows + watermark over the events
+    table via availableNow into a memory sink; the oracle is the equivalent
+    batch aggregation (single availableNow batch -> the watermark drops
+    nothing, so streaming == batch exactly)."""
+    import uuid
+
+    from sher_look_spark.sources.readers import EVENTS_SCHEMA
+    from sher_look_spark.streaming.events import windowed_event_counts
+
+    # the file-stream source needs a DIRECTORY basePath; glob-filter the table
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    name = f"wincounts_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    return spark.table(name)
+
+
+SQL_STREAM_WINDOWED = """
+SELECT date_trunc('hour', ts) AS win_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+# ----------------------------------------------------------------- multimodal
+
+def _synth_raw_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic constant-color RAW images derived from doc_ids — the
+    binary-column input for the multimodal operators (decode is REAL for the
+    raw container; constant pixels make means/std SQL-predictable)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.BinaryType())
+    def mk(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from sher_look_spark.crawler.imaging import encode_raw
+
+        out = []
+        for d in ids:
+            w, h = 4 + d % 5, 3 + d % 4
+            arr = np.zeros((h, w, 3), dtype=np.uint8)
+            arr[:, :, 0] = d % 256
+            arr[:, :, 1] = (2 * d) % 256
+            arr[:, :, 2] = (3 * d) % 256
+            out.append(encode_raw(arr))
+        return pd.Series(out)
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        mk("doc_id").alias("bytes"),
+        F.lit("raw").alias("fmt"),
+    )
+
+
+SQL_MM_FEATURES = """
+SELECT doc_id::VARCHAR AS image_id,
+       (4 + doc_id % 5)::INT AS w, (3 + doc_id % 4)::INT AS h,
+       (doc_id % 256)::DOUBLE AS mean_r,
+       ((2 * doc_id) % 256)::DOUBLE AS mean_g,
+       ((3 * doc_id) % 256)::DOUBLE AS mean_b,
+       0.0::DOUBLE AS std_gray
+FROM documents WHERE doc_id < 200
+"""
+
+
+def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: decode + per-channel stats over a binary image column
+    (Arrow-batched mapInPandas; bytes never enter a Python row path)."""
+    from sher_look_spark.operators.multimodal import image_features
+
+    feats = image_features(_synth_raw_images(spark, sf_dir))
+    return feats.select("image_id", "w", "h", "mean_r", "mean_g", "mean_b", "std_gray")
+
+
+def q_mm_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: resize -> PNG re-encode -> decode -> features. Constant
+    pixels survive nearest-neighbor resize exactly, so the oracle predicts
+    the decoded channel means of the ROUNDTRIPPED bytes."""
+    from sher_look_spark.operators.multimodal import image_features, resize_images
+
+    resized = resize_images(_synth_raw_images(spark, sf_dir), out_w=3, out_h=2)
+    feats = image_features(resized)
+    return feats.select("image_id", "w", "h", "mean_r", "mean_g", "mean_b")
+
+
+SQL_MM_RESIZE = """
+SELECT doc_id::VARCHAR AS image_id, 3 AS w, 2 AS h,
+       (doc_id % 256)::DOUBLE AS mean_r,
+       ((2 * doc_id) % 256)::DOUBLE AS mean_g,
+       ((3 * doc_id) % 256)::DOUBLE AS mean_b
+FROM documents WHERE doc_id < 200
+"""
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: every-2nd-frame sampling from the vid0 container, then
+    per-frame decode+features — frame i of video d has mean_r (d+i) % 256."""
+    from pyspark.sql.functions import pandas_udf
+
+    from sher_look_spark.operators.multimodal import image_features, sample_frames
+
+    @pandas_udf(T.BinaryType())
+    def mkvid(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from sher_look_spark.operators.multimodal import encode_vid0
+
+        out = []
+        for d in ids:
+            frames = []
+            for i in range(1 + d % 4):
+                arr = np.zeros((2 + d % 2, 4 + d % 3, 3), dtype=np.uint8)
+                arr[:, :, 0] = (d + i) % 256
+                frames.append(arr)
+            out.append(encode_vid0(frames))
+        return pd.Series(out)
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    vids = docs.select(
+        F.col("doc_id").cast("string").alias("video_id"),
+        mkvid("doc_id").alias("bytes"),
+        F.lit("vid0").alias("fmt"),
+    )
+    frames = sample_frames(vids, every=2)
+    feats = image_features(
+        frames.select(
+            F.concat_ws("#", "video_id", "frame_idx").alias("image_id"), "bytes", "fmt"
+        )
+    )
+    return feats.select("image_id", "w", "h", "mean_r")
+
+
+SQL_MM_FRAMES = """
+SELECT doc_id::VARCHAR || '#' || i AS image_id,
+       (4 + doc_id % 3)::INT AS w, (2 + doc_id % 2)::INT AS h,
+       ((doc_id + i) % 256)::DOUBLE AS mean_r
+FROM documents, (SELECT unnest(range(4)) AS i)
+WHERE doc_id < 200 AND i < 1 + doc_id % 4 AND i % 2 = 0
 """
 
 
@@ -1241,9 +1522,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c5_robots_parse": q_c5_robots_parse,
         "c6_robots_precedence": q_c6_robots_precedence,
         "c7_politeness_slots": q_c7_politeness_slots,
+        "c8_fetch_captions": q_c8_fetch_captions,
         "c9_content_dedup": q_c9_content_dedup,
         "c10_link_canonicalize": q_c10_link_canonicalize,
         "c11_topk_children": q_c11_topk_children,
+        "c13_resume": q_c13_resume,
+        "c14_crawl_order": q_c14_crawl_order,
         "i1_unindexed_scan": q_i1_unindexed_scan,
         "i2_html_extract": q_i2_html_extract,
         "i3_sections": q_i3_sections,
@@ -1273,6 +1557,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "mm_image_features": q_mm_image_features,
+        "mm_resize_roundtrip": q_mm_resize_roundtrip,
+        "mm_frame_sample": q_mm_frame_sample,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_region_revenue": q_rel_region_revenue,
         "rel_running_window": q_rel_running_window,
@@ -1288,9 +1576,12 @@ def oracle_sql() -> dict[str, str]:
         "c5_robots_parse": SQL_C5,
         "c6_robots_precedence": SQL_C6,
         "c7_politeness_slots": SQL_C7,
+        "c8_fetch_captions": sql_c8(),
         "c9_content_dedup": SQL_C9,
         "c10_link_canonicalize": SQL_C10,
         "c11_topk_children": SQL_C11,
+        "c13_resume": _sql_crawl_order(),
+        "c14_crawl_order": _sql_crawl_order(),
         "i1_unindexed_scan": SQL_I1,
         "i2_html_extract": SQL_I2,
         "i3_sections": SQL_I3,
@@ -1320,6 +1611,10 @@ def oracle_sql() -> dict[str, str]:
         "text_token_count": SQL_TEXT_TOKEN_COUNT,
         "text_quality": sql_text_quality(),
         "text_fingerprint": sql_text_fingerprint(),
+        "stream_windowed_counts": SQL_STREAM_WINDOWED,
+        "mm_image_features": SQL_MM_FEATURES,
+        "mm_resize_roundtrip": SQL_MM_RESIZE,
+        "mm_frame_sample": SQL_MM_FRAMES,
         "rel_pricing_summary": SQL_REL_PRICING,
         "rel_region_revenue": SQL_REL_REGION_REVENUE,
         "rel_running_window": SQL_REL_RUNNING,

@@ -119,6 +119,25 @@ def test_max_pages_budget_cuts_in_fifo_order(spark, tmp_path, sim):
     assert seen == sim_budget.visited
 
 
+def test_bloom_seen_filter_is_exact(spark, tmp_path, sim):
+    """C4 with the salted bloom front FORCED ON from wave 0
+    (bloom_min_seen=0): the bloom is a pre-filter over the exact check, so
+    crawl order and seen set must be bit-identical to the reference."""
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "bloom"),
+        CrawlConfig(max_pages=10_000, max_depth=3, web=WEB, bloom_min_seen=0),
+    )
+    eng.run(SEEDS)
+    got = [r.url for r in _committed_in_order(eng)]
+    assert got == [c["url"] for c in sim.committed]
+    seen = {r.url for r in eng.store.read(eng.spark, "seen").collect()}
+    assert seen == sim.visited
+    # the bloom table exists and covers every salt that has seen rows
+    blooms = eng.store.read(eng.spark, "seen_bloom")
+    assert blooms is not None and blooms.count() >= 1
+
+
 def test_resume_from_snapshot(spark, tmp_path, sim, engine_result):
     """C13: kill between waves -> resume -> identical final state."""
     state_dir = str(tmp_path / "resume")

@@ -1,0 +1,66 @@
+"""C7 time-budget politeness: per-host crawl-delay slot windows.
+
+The reference enforces 1 s per fetch per thread (CrawlTask.java:182); the
+wave engine models it as a per-host slot budget per wave quantum
+(floor(wave_budget_s / crawl_delay_s) fetches/host/wave, each stamped with
+its scheduled_slot offset). Overflow candidates are deferred to the next
+wave — politeness must never DROP work, so the final committed set equals
+the unconstrained reference simulation's."""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+from sher_look_spark.crawler import synth
+from sher_look_spark.crawler.engine import CrawlConfig, CrawlEngine
+from sher_look_spark.crawler.simulator import simulate_crawl
+
+# no timeouts / dup-content / robots / junk links: every polled winner
+# commits, so per-host committed slots are dense from 0 — and crawl order
+# cannot change the reachable set, so politeness reordering keeps set
+# equality exact
+WEB = synth.SynthWebConfig(
+    n_hosts=4, pages_per_host=6, seed=55, timeout_pct=0, dup_every=0,
+    robots_every=0, junk_pct=0,
+)
+SEEDS = synth.seed_urls(WEB, 4)
+
+
+def test_crawl_delay_budget_caps_hosts_per_wave(spark, tmp_path):
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "polite"),
+        CrawlConfig(
+            max_pages=10_000, max_depth=8, crawl_delay_s=1.0, wave_budget_s=3.0, web=WEB
+        ),
+    )
+    eng.run(SEEDS, max_waves=80)
+    rows = eng.store.read(spark, "images").select("url", "wave", "scheduled_slot").collect()
+    per_wave_host: dict[tuple, list] = {}
+    for r in rows:
+        per_wave_host.setdefault((r.wave, urlsplit(r.url).hostname), []).append(
+            r.scheduled_slot
+        )
+    for key, slots in per_wave_host.items():
+        # at most floor(3.0/1.0) = 3 fetches per host per wave quantum ...
+        assert len(slots) <= 3, key
+        # ... scheduled at distinct delay-spaced offsets within the quantum
+        # (commits may skip a slot: a polled URL that 404s consumed it)
+        assert len(set(slots)) == len(slots), key
+        assert all(s in (0.0, 1.0, 2.0) for s in slots), key
+    # deferral, not drop: the committed SET equals the unconstrained
+    # single-threaded reference simulation (order differs by design)
+    sim = simulate_crawl(WEB, SEEDS, max_pages=10_000, max_depth=8)
+    assert {r.url for r in rows} == {c["url"] for c in sim.committed}
+
+
+def test_no_politeness_leaves_slot_null(spark, tmp_path):
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "fid"),
+        CrawlConfig(max_pages=10_000, max_depth=1, web=WEB),
+    )
+    eng.run(SEEDS)
+    rows = eng.store.read(spark, "images").select("scheduled_slot", "crawl_time").collect()
+    assert rows and all(r.scheduled_slot is None for r in rows)
+    assert all(r.crawl_time is not None for r in rows)
