@@ -206,6 +206,57 @@ def _dense_rank_sorted(df: DataFrame, sort_cols: list, out_col: str, offset: int
     return out, sdf, base - offset  # (ranked df, persist handle, total rows)
 
 
+def _parent_offset_ranks(
+    accepted: DataFrame, next_rank: int
+) -> tuple[DataFrame, DataFrame, int]:
+    """Dense child discovery ranks in (parent_rank, link_pos) order, built
+    from per-parent offsets instead of a global range-repartition: the
+    per-parent row_number co-partitions with the links top-K window (same
+    parent_rank key — one exchange serves both), and the offset table is the
+    per-parent COUNTS (tiny vs the children), prefix-summed with the same
+    two-pass trick (per-range sums + driver-combined bases). Avoids the
+    RangePartitioner's sampling pass over the full child set.
+
+    Returns (ranked_children, persist_handle, total)."""
+    from pyspark.sql import Window
+
+    spark = accepted.sparkSession
+    counts = accepted.groupBy("parent_rank").agg(F.count(F.lit(1)).alias("_n"))
+    nparts = max(spark.sparkContext.defaultParallelism, 2)
+    sdf = (
+        counts.repartitionByRange(nparts, "parent_rank")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    psums = {
+        r._pid: r.s
+        for r in sdf.groupBy("_pid").agg(F.sum("_n").alias("s")).collect()
+    }
+    base = next_rank
+    bases = {}
+    for pid in sorted(psums):
+        bases[pid] = base
+        base += psums[pid]
+    base_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(b)) for p, b in bases.items()], "_pid int, _base long"
+        )
+    )
+    w_cnt = Window.partitionBy("_pid").orderBy("parent_rank").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        sdf.join(base_df, "_pid")
+        .withColumn("_off", F.col("_base") + F.coalesce(F.sum("_n").over(w_cnt), F.lit(0)))
+        .select("parent_rank", "_off")
+    )
+    w_child = Window.partitionBy("parent_rank").orderBy("link_pos")
+    ranked = accepted.join(offsets, "parent_rank").withColumn(
+        "rank", F.col("_off") + F.row_number().over(w_child) - 1
+    )
+    return ranked, sdf, base - next_rank
+
+
 def _running_prefix_min(df: DataFrame, sort_cols: list, val_col: str) -> tuple:
     """Global running min of `val_col` in `sort_cols` order, scale-safe (the
     same two-pass shape as _dense_rank_sorted): range-repartition on the sort
@@ -472,19 +523,25 @@ class CrawlEngine:
 
         # Budget pre-trim: when the remaining page budget is far below the
         # wave size, fetching the whole wave is wasted work — process only the
-        # first 2x-budget candidates (ranks are dense within a wave, so the
-        # cutoff needs no counting) and leave the contiguous suffix pending.
-        # If skips eat into the margin, the next wave continues at the same
-        # depth in exact FIFO order — correctness is order-based, not
-        # wave-boundary-based.
+        # first margin*budget candidates (ranks are dense within a wave, so
+        # the cutoff needs no counting) and leave the contiguous suffix
+        # pending. If skips eat into the margin, the next wave continues at
+        # the same depth in exact FIFO order — correctness is order-based,
+        # not wave-boundary-based. The margin ADAPTS to the previous wave's
+        # observed commit rate (deep waves skip most candidates as already
+        # seen; a fixed 2x margin would re-enter the same depth repeatedly,
+        # paying the per-wave serial constant each time).
         pre_trimmed = None
-        if n_wave > 2 * budget + 1:
+        rate = state.get("commit_rate")
+        margin = 2.0 if not rate else min(max(2.0, 1.5 / max(rate, 1e-6)), 16.0)
+        window_size = int(margin * budget)
+        if n_wave > window_size + 1:
             wave_min_rank = wave_cand.agg(F.min("rank")).collect()[0][0]
-            cutoff = wave_min_rank + 2 * budget
+            cutoff = wave_min_rank + window_size
             pre_trimmed = wave_cand.filter(F.col("rank") >= cutoff)
             wave_cand = wave_cand.filter(F.col("rank") < cutoff)
-            n_trimmed = n_wave - 2 * budget
-            n_wave = 2 * budget
+            n_trimmed = n_wave - window_size
+            n_wave = window_size
 
         # --- C3: canonicalize; invalid URLs are polled but never visited.
         # Persisted: feeds both the fetch chain and the seen-set append.
@@ -586,7 +643,7 @@ class CrawlEngine:
         # --- C10/C11: children of committed parents
         next_rank = state["next_rank"]
         accepted = None
-        links_rel = None
+        links_df = None
         if min_depth < self.cfg.max_depth and n_committed > 0:
             exploded = committed.select(
                 F.col("url").alias("parent_url"),
@@ -649,6 +706,8 @@ class CrawlEngine:
             w_parent = Window.partitionBy("parent_rank").orderBy(
                 F.length("child"), "link_pos"
             )
+            # links write happens in the concurrent write pool below — only
+            # the DataFrame is built here
             links_df = (
                 accepted.withColumn("k", limit_expr)
                 .withColumn("lrn", F.row_number().over(w_parent))
@@ -660,21 +719,18 @@ class CrawlEngine:
                     F.lit(wave).alias("wave"),
                 )
             )
-            links_rel = self.store.stage_write(links_df, "links", wave)
             _mark("children_links")
 
-            new_pending, _rank_tmp, n_accepted = _dense_rank_sorted(
+            ranked_children, _rank_tmp, n_accepted = _parent_offset_ranks(
                 accepted.select(
                     F.col("child").alias("url"),
                     (F.col("parent_depth") + 1).alias("depth"),
                     F.col("parent_rank"),
                     F.col("link_pos"),
                 ),
-                ["parent_rank", "link_pos"],
-                "rank",
                 next_rank,
             )
-            new_pending = new_pending.select("url", "depth", "rank")
+            new_pending = ranked_children.select("url", "depth", "rank")
             _mark("child_rank")
             next_rank += n_accepted
         else:
@@ -692,7 +748,9 @@ class CrawlEngine:
         seen_add = polled.select("url_hash", F.col("norm").alias("url")).distinct()
         if seen is not None:
             seen_add = seen_add.join(seen.select("url_hash"), "url_hash", "left_anti")
-        seen_add = seen_add.persist()  # consumed by the seen write AND the bloom build
+        if bloom_on:
+            # consumed by both the seen write and the bloom build
+            seen_add = seen_add.persist()
 
         # --- leftover pending (unpolled due to budget stop) + politeness
         # deferrals; depth histogram maintained incrementally so the next wave
@@ -742,9 +800,13 @@ class CrawlEngine:
         # sum of the smaller writes' wall times.
         from concurrent.futures import ThreadPoolExecutor
 
+        # cluster by salt BEFORE the hive-partitioned write: otherwise every
+        # shuffle partition emits a file into every salt dir (tasks x salts
+        # small files per wave — file-count grows with core count and the
+        # seen scan collapses under listing overhead)
         seen_salted = seen_add.withColumn(
             "salt", F.pmod("url_hash", F.lit(self.cfg.bloom_salts)).cast("int")
-        )
+        ).repartition(F.col("salt"))
         write_jobs: dict[str, tuple] = {
             "images": (images_df, "images", wave, None),
             # seen is hive-partitioned by salt — the parquet stand-in for
@@ -761,6 +823,8 @@ class CrawlEngine:
                 wave,
                 None,
             )
+        if links_df is not None:
+            write_jobs["links"] = (links_df, "links", wave, None)
         with ThreadPoolExecutor(max_workers=len(write_jobs) + 1) as pool:
             futures = {
                 name: pool.submit(self.store.stage_write, df, table, w, pb)
@@ -782,8 +846,8 @@ class CrawlEngine:
         }
         if self.cfg.store_html:
             appends["pages"] = [rels["pages"]]
-        if links_rel is not None:
-            appends["links"] = [links_rel]
+        if links_df is not None:
+            appends["links"] = [rels["links"]]
         # per-wave lineage + metrics live in the snapshot manifest itself (one
         # snapshot per wave = the full history) — a table write per wave would
         # only add a serial job to every wave
@@ -809,12 +873,15 @@ class CrawlEngine:
             # upper bound on |seen| (distinct polled <= polled): drives the
             # bloom activation threshold without a counting job
             "seen_rows_ub": state.get("seen_rows_ub", 0) + int(n_wave),
+            # observed commit rate of this wave -> next wave's pre-trim margin
+            "commit_rate": (float(n_committed) / n_wave) if n_wave else None,
         }
         if bloom_rel is not None:
             new_state["bloom"] = {"salts": self.cfg.bloom_salts, "bits": self.cfg.bloom_bits}
         new_state["metrics"] = metrics_row
         self.store.commit(appends=appends, replaces=replaces, state=new_state)
-        seen_add.unpersist()
+        if bloom_on:
+            seen_add.unpersist()
         pending.unpersist()
         cand.unpersist()
         fetched.unpersist()

@@ -38,11 +38,21 @@ _ILLEGAL_RE = re.compile(r"[\s<>\"{}|\\^`]")
 
 _RESOLVABLE_SCHEMES = ("http", "https", "ftp", "file")
 
+# Fixed points of normalize_url, provable by the regex alone: lowercase http
+# scheme+host, no userinfo/port/query/fragment/percent-escapes, path absent
+# or starting with '/' and not ending in one. Such URLs pass normalize_url
+# unchanged, so they short-circuit — on a real crawl the bulk of frontier
+# URLs are already canonical (they were normalized when enqueued), and this
+# one regex test replaces a urlsplit + filter + sort per URL per wave.
+_CANONICAL_RE = re.compile(r"http://[a-z0-9.-]+(?:/[A-Za-z0-9._~!$&'()*+,;=:@/-]*[A-Za-z0-9._~!$&'()*+,;=:@-])?")
+
 
 def normalize_url(url: str | None) -> str | None:
     """Pure-Python port of UrlNormalizer.normalize (idempotent)."""
     if url is None:
         return None
+    if _CANONICAL_RE.fullmatch(url):
+        return url
     if _ILLEGAL_RE.search(url):
         return None  # java.net.URI -> URISyntaxException -> null
     try:

@@ -220,16 +220,32 @@ def simhash_neighbor_pairs(
 
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    n: int = 3, threshold: float = 0.5,
+    n: int = 3, threshold: float = 0.5, max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over all pairs sharing >=1 shingle.
 
     distinct-shingle explode -> self-join on shingle -> |A∩B| per pair;
     |A∪B| = |A|+|B|-|A∩B|. The shingle join IS the candidate pruning (pairs
     sharing nothing never meet), and it's what the DuckDB oracle can verify.
+
+    ``max_doc_freq``: the web-scale guard. A boilerplate shingle shared by
+    10^6 docs creates a quadratic bucket in the self-join; dropping shingles
+    with document frequency > K bounds every bucket at K^2 pairs. Union sizes
+    still count the dropped shingles (they're part of each doc's set), so
+    reported Jaccard values only DECREASE for pairs whose intersection used
+    capped shingles — at 100 TB that is the standard exactness/scale trade
+    (the oracle mirrors the cap, so parity holds at any K).
     """
     sh = df.select(id_col, F.explode(F.array_distinct(shingles_column(text_col, n))).alias("shingle"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (

@@ -1110,7 +1110,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sher_look_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.02)
+    # max_doc_freq=50 exercises the hot-shingle cap (the web-scale guard
+    # against quadratic buckets); the oracle mirrors the cap exactly
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.02, max_doc_freq=50)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -1127,9 +1129,13 @@ shingles AS (
   FROM toklists WHERE len(toks) >= 3
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+rare AS (
+  SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= 50
+),
+capped AS (SELECT s.* FROM shingles s JOIN rare USING (shingle)),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b,

