@@ -85,13 +85,16 @@ def run_queries() -> dict:
     }
 
 
-def crawl_throughput(spark, committed_target: int = 2000, seed: int = 4242) -> dict:
+def crawl_throughput(
+    spark, committed_target: int = 2000, seed: int = 4242,
+    img_min: int = 64, img_max: int = 128,
+) -> dict:
     """URLs fetched+committed/sec on the deterministic synthetic web.
 
-    Payload sizes are web-realistic (64-128 px images ≈ 12-50 KB PNGs) so the
-    bench measures fetch+decode+commit compute, not driver overhead. The
-    queue cap is lifted: it is a reference-fidelity constraint
-    (PersistentQueue.java:22), not a throughput semantic.
+    Payload size sets the per-URL compute (img 64-128 px ≈ 12-50 KB PNGs is
+    the light protocol; 128-256 px ≈ 50-200 KB matches median web image
+    transfer size). The queue cap is lifted: it is a reference-fidelity
+    constraint (PersistentQueue.java:22), not a throughput semantic.
     """
     import shutil
     import tempfile
@@ -101,7 +104,7 @@ def crawl_throughput(spark, committed_target: int = 2000, seed: int = 4242) -> d
 
     web = synth.SynthWebConfig(
         n_hosts=500, pages_per_host=400, seed=seed,
-        min_links=10, max_links=24, img_min=64, img_max=128,
+        min_links=10, max_links=24, img_min=img_min, img_max=img_max,
     )
     seeds = synth.seed_urls(web, 500)
     # state on tmpfs: a single VM disk is a fixed resource that cannot scale
@@ -129,17 +132,64 @@ def crawl_throughput(spark, committed_target: int = 2000, seed: int = 4242) -> d
     }
 
 
-def run_scaling(committed_target: int = 100000, repeats: int = 2) -> dict:
+def _tree_cpu_secs() -> float:
+    """Cumulative utime+stime of this process and every live descendant
+    (JVM gateway, pyspark workers), plus reaped-children time. Dead
+    unreaped descendants are missed — acceptable for run-over-run deltas
+    (the gateway JVM and worker pools live for the whole bench)."""
+    import resource
+
+    clk = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
+    parents: dict[int, int] = {}
+    ticks: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as fh:
+                parts = fh.read().rsplit(")", 1)[1].split()
+            parents[int(d)] = int(parts[1])
+            ticks[int(d)] = int(parts[11]) + int(parts[12])
+        except OSError:
+            continue
+    total = 0
+    for pid in ticks:
+        p = pid
+        for _ in range(64):
+            if p == me:
+                total += ticks[pid]
+                break
+            p = parents.get(p, 0)
+            if p <= 1:
+                break
+    rc = resource.getrusage(resource.RUSAGE_CHILDREN)
+    return total / clk + rc.ru_utime + rc.ru_stime
+
+
+def run_scaling(
+    committed_target: int = 100000, repeats: int = 2,
+    img_min: int = 64, img_max: int = 128,
+) -> dict:
     """Interleaved repeats with best-of per level: the sandbox VM's wall-clock
     noise is large (2x run-to-run on identical work) and strictly additive,
-    so min-time per level is the honest estimate of the machine's capability."""
+    so min-time per level is the honest estimate of the machine's capability.
+
+    Each run also records the CPU seconds consumed by this process's whole
+    /proc subtree (driver + gateway JVM + Python workers) across the run:
+    identical work must burn ~identical CPU at both levels, and cpu/wall is
+    the parallelism the host actually DELIVERED — the direct discriminator
+    between engine serialization and machine noise."""
     results: dict[int, list[dict]] = {8: [], 32: []}
     for r in range(repeats):
         for cpus in (8, 32):
+            cpu0 = _tree_cpu_secs()
             spark = _spark(cpus, f"crawl-scaling-{cpus}-r{r}")
-            out = crawl_throughput(spark, committed_target)
-            results[cpus].append(out)
+            out = crawl_throughput(spark, committed_target, img_min=img_min, img_max=img_max)
             spark.stop()
+            out["cpu_secs"] = round(_tree_cpu_secs() - cpu0, 1)
+            out["delivered_parallelism"] = round(out["cpu_secs"] / out["secs"], 2)
+            results[cpus].append(out)
             print(f"  local[{cpus}] run {r}: {out}", file=sys.stderr)
     best = {c: max(runs, key=lambda x: x["urls_per_sec"]) for c, runs in results.items()}
     eff = (best[32]["urls_per_sec"] / best[8]["urls_per_sec"]) / 4.0
