@@ -72,6 +72,7 @@ def pagerank(
     localCheckpoint every ``checkpoint_every`` iterations so plans stay flat
     at cluster scale.
     """
+    edges = edges.persist()  # read once; every iteration joins against it
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("out_degree"))
     verts = vertices.join(out_deg, "id", "left").fillna({"out_degree": 0}).persist()
     # one setup action yields both N and the initial dangling count
@@ -132,6 +133,7 @@ def pagerank(
         old.unpersist()
     result = prev.select("id", "rank")
     verts.unpersist()
+    edges.unpersist()
     return result
 
 

@@ -838,12 +838,12 @@ SELECT DISTINCT doc_id FROM tokens WHERE word = 'slow'
 """
 
 
-PAGERANK_ORACLE_ITERS = 25
+PAGERANK_ORACLE_ITERS = 12  # plenty to discriminate; each iter is a full job
 
 
 def q_q8_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8: PageRank on a 25-node graph derived from orders, run for a FIXED
-    25 iterations (tol=0 disables the convergence break) so a non-recursive
+    12 iterations (tol=0 disables the convergence break) so a non-recursive
     chained-CTE DuckDB oracle can replay the identical power iteration —
     dangling redistribution included (Ranker.java:128-187). The reference's
     converge-and-return-previous quirk is pinned by tests/test_ranking.py."""
