@@ -399,6 +399,10 @@ def _crawl_commit_seq(spark: SparkSession, eng) -> DataFrame:
     ).select("commit_seq", "url")
 
 
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=1)
 def _sql_crawl_order() -> str:
     from sher_look_spark.crawler.simulator import simulate_crawl
 
