@@ -47,6 +47,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Everything is PROCESS_LOCAL in local mode (and node-local on a
+        # co-located cluster); never idle a core waiting for locality.
+        .config("spark.locality.wait", "0s")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
