@@ -110,3 +110,42 @@ def test_embedding_neardup(emb):
 
     pairs = [(r.id_a, r.id_b) for r in embedding_neardup_pairs(emb, threshold=0.98).collect()]
     assert (0, 201) in pairs
+
+
+def test_round2_operator_plans_are_scale_shaped(spark):
+    """Plan hygiene for the round-2 operators: no row-at-a-time Python, no
+    cartesian products, partial aggregation where expected."""
+    from pyspark.sql import functions as F
+
+    from sher_look_spark.operators.dedup import (
+        minhash_signatures,
+        simhash_neighbor_pairs,
+        simhash_table,
+    )
+    from sher_look_spark.operators.similarity import embedding_neardup_pairs
+    from sher_look_spark.plans import explain_str, plan_summary, uses_row_python
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon tok{i} zeta eta") for i in range(30)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, num_hashes=8)
+    assert not uses_row_python(sigs)
+    # per-permutation mins are grouped aggregates -> map-side partial agg
+    assert "partial" in explain_str(sigs, "simple").lower()
+
+    sim = simhash_table(docs)
+    pairs = simhash_neighbor_pairs(sim, bands=6, max_hamming=5)
+    plan = explain_str(pairs, "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert not uses_row_python(pairs)
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0, 0.5]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    nd = embedding_neardup_pairs(emb, threshold=0.5, n_planes=2, n_tables=3)
+    plan = explain_str(nd, "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    s = plan_summary(nd)
+    assert s["row_python"] == 0 and s["arrow_python"] >= 1
