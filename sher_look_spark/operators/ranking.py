@@ -71,6 +71,14 @@ def pagerank(
     Returns (id, rank). Iterative DataFrame job; lineage cut by
     localCheckpoint every ``checkpoint_every`` iterations so plans stay flat
     at cluster scale.
+
+    ``tol <= 0`` selects FIXED-ITERATION mode with ZERO per-iteration driver
+    actions: the convergence check is dead code, so the dangling mass is
+    computed as a 1-row aggregate of the previous iterate cross-joined
+    (broadcast) into the next — exactly the shape of the fixed-step oracle
+    CTE chain in queries.sql_q8 — and all ``max_iter`` steps compile into a
+    handful of jobs (one per lineage checkpoint) instead of one per
+    iteration.
     """
     edges = edges.persist()  # read once; every iteration joins against it
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("out_degree"))
@@ -88,15 +96,91 @@ def pagerank(
     dangling_mass = (vstats.n_dangling or 0) * (1.0 / n)
 
     base = (1.0 - damping) / n
-    for i in range(max_iter):
-        contribs = (
-            prev.join(edges, prev.id == edges.src)
+    fixed = tol <= 0.0
+
+    # Size the iteration shuffles to the GRAPH, not the session default:
+    # every iterate is a rank vector of n rows, so partitions ~ n/65k keeps
+    # tasks meaningful at 10^9 vertices and collapses to 1 task for small
+    # graphs (where per-task scheduling overhead would dominate the loop).
+    # Restored in the finally below; cached-plan AQE coalescing is enabled
+    # session-wide (session.py) but static sizing also covers plan reuse.
+    sp_key = "spark.sql.shuffle.partitions"
+    aqe_key = "spark.sql.adaptive.enabled"
+    sp_old = spark.conf.get(sp_key)
+    aqe_old = spark.conf.get(aqe_key)
+    loop_parts = max(1, min(int(sp_old), n // 65_536 + 1))
+    spark.conf.set(sp_key, str(loop_parts))
+    if loop_parts == 1:
+        # single-partition iterates: AQE has nothing to coalesce or re-plan,
+        # but it would still submit one job per stage materialization
+        # (~8 jobs/iteration measured) — pure scheduling overhead here.
+        spark.conf.set(aqe_key, "false")
+    try:
+        return _pagerank_loop(
+            spark, verts, edges, prev, n, base, damping, dangling_mass,
+            tol, max_iter, checkpoint_every, fixed,
+        )
+    finally:
+        spark.conf.set(sp_key, sp_old)
+        spark.conf.set(aqe_key, aqe_old)
+
+
+def _pagerank_loop(
+    spark, verts, edges, prev, n, base, damping, dangling_mass,
+    tol, max_iter, checkpoint_every, fixed,
+) -> DataFrame:
+
+    def _contribs(it: DataFrame) -> DataFrame:
+        return (
+            it.join(edges, it.id == edges.src)
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("out_degree")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("in_sum"))
         )
+
+    if fixed:
+        # lineage checkpoint stride: each eager checkpoint is a driver
+        # action; the cached iterates between checkpoints execute as chained
+        # stages of ONE job, so actions drop from max_iter to max_iter/stride.
+        stride = checkpoint_every
+        handles: list[DataFrame] = [prev]
+        for i in range(max_iter):
+            dang = prev.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("out_degree") == 0, F.col("rank"))), F.lit(0.0)
+                ).alias("_dm")
+            )
+            cur = (
+                verts.join(_contribs(prev), "id", "left")
+                .crossJoin(F.broadcast(dang))
+                .select(
+                    "id",
+                    "out_degree",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.col("_dm") / n)
+                    ).alias("rank"),
+                )
+            )
+            last = i + 1 == max_iter
+            if last or (i + 1) % stride == 0:
+                cur = cur.localCheckpoint(eager=True)  # one action per stride
+                for h in handles:
+                    h.unpersist()
+                handles = []
+            else:
+                cur = cur.persist()
+                handles.append(cur)
+            prev = cur
+        result = prev.select("id", "rank")
+        verts.unpersist()
+        edges.unpersist()
+        return result
+
+    for i in range(max_iter):
         cur = (
-            verts.join(contribs, "id", "left")
+            verts.join(_contribs(prev), "id", "left")
             .select(
                 "id",
                 "out_degree",
