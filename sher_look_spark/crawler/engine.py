@@ -91,7 +91,14 @@ class CrawlConfig:
     # pre-filter; false positives go to the exact check).
     use_bloom: bool = True
     bloom_salts: int = 32            # one bitmap per salt; scale knob (4096 at 10^10)
-    bloom_bits: int = 1 << 20        # bits per salt bitmap (~2.6M urls total at 1% fp)
+    bloom_bits: int = 1 << 20        # INITIAL bits/salt (~2.8M urls total at ~1% fp);
+    #                                  auto-resized (state-owned) as seen grows
+    # The exact check for bloom "maybe seen" rows broadcasts the suspect set
+    # only while the WAVE itself is broadcast-scale (suspects <= wave size);
+    # above this, most children of a deep wave being already-seen would make
+    # the broadcast multi-GB, so the engine falls back to the shuffle
+    # anti-join (co-located on a bucketed seen table under Iceberg).
+    suspect_broadcast_max: int = 4_000_000
     # Activation threshold: below this many seen URLs a plain anti-join beats
     # the bloom's fixed per-wave cost (bitmap load + merge + extra jobs), so
     # the filter engages only once `seen` outgrows broadcast scale. Crossing
@@ -330,72 +337,96 @@ class CrawlEngine:
         )
 
     # ---------------------------------------------------- URL-seen + bloom (C4)
-    def _load_blooms(self, state: dict) -> dict[int, bytes] | None:
-        """The merged salt->bitmap map from the latest snapshot, or None when
-        the bloom is disabled / absent / built with different parameters (a
-        None forces the plain anti-join this wave and a full rebuild at
-        commit, so resume from pre-bloom snapshots stays exact)."""
-        if not self.cfg.use_bloom:
-            return None
-        meta = state.get("bloom")
-        if (
-            not meta
-            or meta.get("salts") != self.cfg.bloom_salts
-            or meta.get("bits") != self.cfg.bloom_bits
-        ):
-            return None
-        df = self.store.read(self.spark, "seen_bloom")
-        if df is None:
-            return None
-        return {r.salt: bytes(r.bitmap) for r in df.collect()}
+    def _load_bloom_df(self, state: dict) -> tuple[DataFrame | None, int]:
+        """(seen_bloom DataFrame, effective bits-per-salt) from the latest
+        snapshot. The DataFrame is None when the bloom is disabled / absent /
+        built with a different salt count (a None forces the plain anti-join
+        this wave and a full rebuild at commit, so resume from pre-bloom
+        snapshots stays exact). The bitmaps are NEVER collected to the
+        driver: per-salt probing and merging happen where the data lives.
 
-    def _seen_filter(self, winners: DataFrame, seen: DataFrame | None, blooms) -> DataFrame:
+        Bits-per-salt is owned by snapshot state (``bloom.bits``), not config:
+        auto-resize grows it as the crawl's seen set outgrows the sized
+        capacity, and the filter must keep probing at the size it was built
+        with."""
+        eff_bits = self.cfg.bloom_bits
+        if not self.cfg.use_bloom:
+            return None, eff_bits
+        meta = state.get("bloom")
+        if not meta or meta.get("salts") != self.cfg.bloom_salts:
+            return None, eff_bits
+        eff_bits = int(meta.get("bits", eff_bits))
+        return self.store.read(self.spark, "seen_bloom"), eff_bits
+
+    def _seen_filter(
+        self, winners: DataFrame, seen: DataFrame | None,
+        bloom_df: DataFrame | None, n_wave: int,
+    ) -> DataFrame:
         """Drop already-seen URLs without ever shuffling the seen table.
 
-        Bloom path: candidates test their salt's bitmap in an Arrow batch;
-        "definitely new" rows (no false negatives) skip the exact check. The
-        few "maybe seen" rows verify via seen ⋉ broadcast(suspects) followed
-        by an anti-join against the (small, broadcast) hit set — the 10^10-row
-        seen table is only ever SCANNED. Reference analog: the in-memory
-        cheap-check before the DB lookup (CrawlTask.java:82-93)."""
+        Bloom path: candidates cogroup with the `seen_bloom` table on
+        ``salt = pmod(url_hash, n_salts)`` — each task loads ONLY its salt's
+        bitmap (at 10^10 URLs the aggregate filter is ~TiB; a driver
+        collect+broadcast of it cannot exist). "Definitely new" rows (no
+        false negatives) skip the exact check entirely. The "maybe seen"
+        rows (true dups + ~fp_rate) verify exactly:
+
+        * when the wave is broadcast-scale (suspects <= wave <=
+          ``suspect_broadcast_max``): seen ⋉ broadcast(suspects) then an
+          anti-join against the (small) hit set — seen is only SCANNED;
+        * otherwise (deep-crawl waves where most children are already seen):
+          plain shuffle anti-join — on a real cluster the seen table is
+          bucketed by url_hash (Iceberg), so this co-locates without
+          re-shuffling seen; the broadcast path must not be used because
+          suspects can approach wave size.
+
+        Reference analog: the in-memory cheap-check before the DB lookup
+        (CrawlTask.java:82-93)."""
         if seen is None:
             return winners
-        if blooms is None:
+        if bloom_df is None:
             return winners.join(seen.select("url_hash"), "url_hash", "left_anti")
         n_salts = self.cfg.bloom_salts
-        bc = self.spark.sparkContext.broadcast(blooms)
-        from pyspark.sql.functions import pandas_udf
+        cands = winners.withColumn(
+            "salt", F.pmod("url_hash", F.lit(n_salts)).cast("int")
+        )
+        out_schema = T.StructType(cands.schema.fields + [T.StructField("_maybe", T.BooleanType())])
 
-        @pandas_udf(T.BooleanType())
-        def maybe_seen(hashes: pd.Series) -> pd.Series:
+        def probe(_key, cpdf, bpdf):
             import numpy as np
 
             from sher_look_spark.functions import bloom as B
 
-            maps = {s: np.frombuffer(b, dtype=np.uint8) for s, b in bc.value.items()}
-            h = hashes.to_numpy(dtype="int64").astype("uint64")
-            out = np.zeros(len(h), dtype=bool)  # absent salt bitmap == nothing seen there
-            salts = (h % np.uint64(n_salts)).astype("int64")
-            for s in np.unique(salts):
-                m = maps.get(int(s))
-                if m is not None:
-                    mask = salts == s
-                    out[mask] = B.might_contain(m, h[mask])
-            return pd.Series(out)
+            if len(bpdf) == 0:
+                flags = np.zeros(len(cpdf), dtype=bool)  # no bitmap -> salt has no seen rows
+            else:
+                bm = np.frombuffer(bytes(bpdf["bitmap"].iloc[0]), dtype=np.uint8)
+                flags = B.might_contain(
+                    bm, cpdf["url_hash"].to_numpy("int64").astype("uint64")
+                )
+            return cpdf.assign(_maybe=flags)
 
-        flagged = winners.withColumn("_maybe", maybe_seen("url_hash"))
+        flagged = (
+            cands.groupBy("salt")
+            .cogroup(bloom_df.groupBy("salt"))
+            .applyInPandas(probe, out_schema)
+        )
         suspects = flagged.filter(F.col("_maybe"))
         fresh = flagged.filter(~F.col("_maybe"))
-        hits = seen.select("url_hash").join(
-            F.broadcast(suspects.select("url_hash")), "url_hash", "left_semi"
-        )
-        cleared = suspects.join(F.broadcast(hits), "url_hash", "left_anti")
-        return fresh.unionByName(cleared).drop("_maybe")
+        if n_wave <= self.cfg.suspect_broadcast_max:
+            hits = seen.select("url_hash").join(
+                F.broadcast(suspects.select("url_hash")), "url_hash", "left_semi"
+            )
+            cleared = suspects.join(F.broadcast(hits), "url_hash", "left_anti")
+        else:
+            cleared = suspects.join(seen.select("url_hash"), "url_hash", "left_anti")
+        return fresh.unionByName(cleared).drop("_maybe", "salt")
 
-    def _build_bloom(self, hashes_df: DataFrame) -> dict[int, bytes]:
-        """Executor-side salted bloom build: one bitmap per salt partition via
-        grouped applyInPandas (numpy bit-sets over Arrow batches)."""
-        n_salts, n_bits = self.cfg.bloom_salts, self.cfg.bloom_bits
+    def _wave_bitmaps(self, hashes_df: DataFrame, n_bits: int) -> DataFrame:
+        """(salt, bitmap) bitmaps for a batch of url hashes — built where the
+        hashes live via grouped applyInPandas (numpy bit-sets over Arrow
+        batches); never collected."""
+        n_salts = self.cfg.bloom_salts
 
         def build(key, pdf):
             from sher_look_spark.functions import bloom as B
@@ -404,48 +435,47 @@ class CrawlEngine:
             B.add_hashes(bm, pdf["url_hash"].to_numpy("int64").astype("uint64"))
             return pd.DataFrame({"salt": [int(key[0])], "bitmap": [bm.tobytes()]})
 
-        rows = (
+        return (
             hashes_df.select(
                 "url_hash", F.pmod("url_hash", F.lit(n_salts)).cast("int").alias("salt")
             )
             .groupBy("salt")
             .applyInPandas(build, "salt int, bitmap binary")
-            .collect()
         )
-        return {r.salt: bytes(r.bitmap) for r in rows}
 
     def _stage_bloom(
-        self, blooms: dict[int, bytes] | None, seen: DataFrame | None,
-        seen_add: DataFrame, wave: int,
+        self, bloom_df: DataFrame | None, seen: DataFrame | None,
+        seen_add: DataFrame, wave: int, n_bits: int,
     ) -> str:
         """Merge the wave's seen additions into the salt bitmaps and stage the
-        REPLACEMENT seen_bloom table (n_salts rows, a few MiB — the parquet
-        stand-in for an Iceberg rewrite of a tiny metadata table)."""
-        import numpy as np
-
-        from sher_look_spark.functions import bloom as B
-
-        if blooms is None and seen is not None:
-            # resume from a pre-bloom snapshot (or resized filter): one-time
-            # rebuild over the full seen table
+        REPLACEMENT seen_bloom table (n_salts rows — the parquet stand-in for
+        an Iceberg rewrite of a small metadata table). Fully distributed:
+        wave bitmaps union the previous bitmaps and OR-merge per salt in a
+        grouped applyInPandas — one task per salt, each touching only its own
+        bitmap; the driver never holds bitmap bytes."""
+        if bloom_df is None and seen is not None:
+            # resume from a pre-bloom snapshot, or a capacity resize: one-time
+            # full rebuild over the entire seen table at the (new) bit width
             base_df = seen.select("url_hash").unionByName(seen_add.select("url_hash"))
         else:
             base_df = seen_add.select("url_hash")
-        add = self._build_bloom(base_df)
-        merged = dict(blooms or {})
-        for s, b in add.items():
-            if s in merged:
-                merged[s] = B.merge_bitmaps(
-                    np.frombuffer(merged[s], dtype=np.uint8).copy(),
-                    np.frombuffer(b, dtype=np.uint8),
-                ).tobytes()
-            else:
-                merged[s] = b
-        df = self.spark.createDataFrame(
-            [(int(s), bytearray(b)) for s, b in sorted(merged.items())],
-            "salt int, bitmap binary",
-        )
-        return self.store.stage_write(df, "seen_bloom", wave)
+        merged = self._wave_bitmaps(base_df, n_bits)
+        if bloom_df is not None:
+            def or_merge(key, pdf):
+                import numpy as np
+
+                out = None
+                for b in pdf["bitmap"]:
+                    a = np.frombuffer(bytes(b), dtype=np.uint8)
+                    out = a.copy() if out is None else np.bitwise_or(out, a)
+                return pd.DataFrame({"salt": [int(key[0])], "bitmap": [out.tobytes()]})
+
+            merged = (
+                merged.unionByName(bloom_df)
+                .groupBy("salt")
+                .applyInPandas(or_merge, "salt int, bitmap binary")
+            )
+        return self.store.stage_write(merged, "seen_bloom", wave)
 
     # ------------------------------------------------------------- robots (C5)
     def _resolve_robots(self, cand: DataFrame) -> DataFrame:
@@ -533,15 +563,32 @@ class CrawlEngine:
         # paying the per-wave serial constant each time).
         pre_trimmed = None
         rate = state.get("commit_rate")
-        margin = 2.0 if not rate else min(max(2.0, 1.5 / max(rate, 1e-6)), 16.0)
+        # `rate is None`, not falsy: a 0.0 rate (every candidate already seen)
+        # is exactly the deep-wave case that needs the MAX margin, not the min.
+        margin = 2.0 if rate is None else min(max(2.0, 1.5 / max(rate, 1e-6)), 16.0)
         window_size = int(margin * budget)
+        # Politeness deferral re-inserts SCATTERED ranks at the same depth, so
+        # the fast split below (which assumes the wave's ranks are dense from
+        # min(rank)) would mis-count; such depths are flagged in state and use
+        # an exact ordered split instead (TakeOrderedAndProject, no full sort).
+        scattered = set(state.get("scattered_depths", []))
         if n_wave > window_size + 1:
-            wave_min_rank = wave_cand.agg(F.min("rank")).collect()[0][0]
-            cutoff = wave_min_rank + window_size
+            if min_depth in scattered:
+                head = (
+                    wave_cand.orderBy("rank").limit(window_size)
+                    .agg(F.max("rank").alias("mx"), F.count(F.lit(1)).alias("cnt"))
+                    .collect()[0]
+                )
+                cutoff = head.mx + 1
+                n_kept = head.cnt
+            else:
+                wave_min_rank = wave_cand.agg(F.min("rank")).collect()[0][0]
+                cutoff = wave_min_rank + window_size
+                n_kept = window_size
             pre_trimmed = wave_cand.filter(F.col("rank") >= cutoff)
             wave_cand = wave_cand.filter(F.col("rank") < cutoff)
-            n_trimmed = n_wave - window_size
-            n_wave = window_size
+            n_trimmed = n_wave - n_kept
+            n_wave = n_kept
 
         # --- C3: canonicalize; invalid URLs are polled but never visited.
         # Persisted: feeds both the fetch chain and the seen-set append.
@@ -561,8 +608,10 @@ class CrawlEngine:
             self.cfg.use_bloom
             and state.get("seen_rows_ub", 0) >= self.cfg.bloom_min_seen
         )
-        blooms = self._load_blooms(state) if bloom_on else None
-        winners = self._seen_filter(winners, seen, blooms)
+        bloom_df, bloom_bits = (
+            self._load_bloom_df(state) if bloom_on else (None, self.cfg.bloom_bits)
+        )
+        winners = self._seen_filter(winners, seen, bloom_df, n_wave)
 
         # --- C7: optional per-host politeness budget (deferred, not dropped).
         # A direct cap (per_host_wave_cap) or a crawl-delay time budget — the
@@ -764,6 +813,13 @@ class CrawlEngine:
             next_depths[min_depth] = next_depths.get(min_depth, 0) + n_trimmed
         if stop_rank is not None:
             leftover_df = wave_cand.filter(F.col("rank") > stop_rank)
+            if deferred is not None:
+                # a politeness-deferred row past the stop rank is ALSO in
+                # deferred_df below — without this anti-join it would enter
+                # pending twice and double-count the depth histogram
+                leftover_df = leftover_df.join(
+                    deferred.select("rank"), "rank", "left_anti"
+                )
             leftovers.append(leftover_df)
             next_depths[min_depth] = next_depths.get(min_depth, 0) + leftover_df.count()
         if deferred is not None:
@@ -825,13 +881,23 @@ class CrawlEngine:
             )
         if links_df is not None:
             write_jobs["links"] = (links_df, "links", wave, None)
+        # Bloom capacity auto-resize: once the seen upper bound outgrows the
+        # sized capacity (~12 bits/key for ~1% fp) the fp rate decays and
+        # every extra fp pays an exact check — grow the per-salt bit width
+        # (2x headroom) and rebuild from the full seen table this commit.
+        seen_ub_new = state.get("seen_rows_ub", 0) + int(n_wave)
+        if bloom_on:
+            if seen_ub_new > (self.cfg.bloom_salts * bloom_bits) // 12:
+                while (self.cfg.bloom_salts * bloom_bits) // 12 < 2 * seen_ub_new:
+                    bloom_bits *= 2
+                bloom_df = None  # forces the full rebuild path in _stage_bloom
         with ThreadPoolExecutor(max_workers=len(write_jobs) + 1) as pool:
             futures = {
                 name: pool.submit(self.store.stage_write, df, table, w, pb)
                 for name, (df, table, w, pb) in write_jobs.items()
             }
             bloom_fut = (
-                pool.submit(self._stage_bloom, blooms, seen, seen_add, wave)
+                pool.submit(self._stage_bloom, bloom_df, seen, seen_add, wave, bloom_bits)
                 if bloom_on
                 else None
             )
@@ -864,6 +930,10 @@ class CrawlEngine:
         replaces = {"pending": [rels["pending"]]}
         if bloom_rel is not None:
             replaces["seen_bloom"] = [bloom_rel]
+        # depths whose pending ranks are no longer dense (deferral scatters);
+        # cleared automatically once the depth drains
+        live_depths = {d for d, v in next_depths.items() if v > 0}
+        scattered_next = scattered | ({min_depth} if deferred is not None else set())
         new_state = {
             "wave": wave + 1,
             "committed": committed_total + n_committed,
@@ -872,12 +942,13 @@ class CrawlEngine:
             "pending_depths": {str(d): int(n) for d, n in next_depths.items() if n > 0},
             # upper bound on |seen| (distinct polled <= polled): drives the
             # bloom activation threshold without a counting job
-            "seen_rows_ub": state.get("seen_rows_ub", 0) + int(n_wave),
+            "seen_rows_ub": seen_ub_new,
             # observed commit rate of this wave -> next wave's pre-trim margin
             "commit_rate": (float(n_committed) / n_wave) if n_wave else None,
+            "scattered_depths": sorted(scattered_next & live_depths),
         }
         if bloom_rel is not None:
-            new_state["bloom"] = {"salts": self.cfg.bloom_salts, "bits": self.cfg.bloom_bits}
+            new_state["bloom"] = {"salts": self.cfg.bloom_salts, "bits": int(bloom_bits)}
         new_state["metrics"] = metrics_row
         self.store.commit(appends=appends, replaces=replaces, state=new_state)
         if bloom_on:

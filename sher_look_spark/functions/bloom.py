@@ -79,10 +79,18 @@ def merge_bitmaps(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.bitwise_or(a, b)
 
 
+def salt_of(hashes: np.ndarray, n_salts: int) -> np.ndarray:
+    """Salt assignment = pmod(signed int64 hash, n_salts) — IDENTICAL to the
+    engine's JVM-side ``F.pmod(url_hash, n_salts)`` (numpy mod on int64 with a
+    positive divisor is already non-negative, matching pmod). Probe positions
+    (`_probe_positions`) use the raw 64-bit pattern, which is sign-agnostic."""
+    return np.mod(np.asarray(hashes).astype(np.int64), np.int64(n_salts))
+
+
 def build_salted(hashes: np.ndarray, n_salts: int, n_bits: int) -> dict[int, bytes]:
     """Driver/executor helper: {salt: bitmap bytes} for a batch of hashes."""
     h = np.asarray(hashes, dtype=np.uint64)
-    salts = (h % np.uint64(n_salts)).astype(np.int64)
+    salts = salt_of(h, n_salts)
     out: dict[int, bytes] = {}
     for s in np.unique(salts):
         bm = empty_bitmap(n_bits)

@@ -138,6 +138,48 @@ def test_bloom_seen_filter_is_exact(spark, tmp_path, sim):
     assert blooms is not None and blooms.count() >= 1
 
 
+def test_bloom_suspect_fallback_is_exact(spark, tmp_path, sim):
+    """The exact check for bloom 'maybe seen' rows must produce identical
+    results through BOTH strategies: suspect_broadcast_max=0 forces the
+    shuffle-anti-join fallback (the deep-wave path where suspects approach
+    wave size and a broadcast would be multi-GB). bloom_salts=5 is
+    deliberately non-power-of-two: probe and build salts must agree on
+    signed-pmod semantics for negative url hashes (a mismatch makes bloom
+    FALSE NEGATIVES -> re-fetched duplicates -> order divergence)."""
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "fallback"),
+        CrawlConfig(
+            max_pages=10_000, max_depth=3, web=WEB,
+            bloom_min_seen=0, bloom_salts=5, suspect_broadcast_max=0,
+        ),
+    )
+    eng.run(SEEDS)
+    got = [r.url for r in _committed_in_order(eng)]
+    assert got == [c["url"] for c in sim.committed]
+    seen = {r.url for r in eng.store.read(eng.spark, "seen").collect()}
+    assert seen == sim.visited
+
+
+def test_bloom_auto_resize_preserves_equality(spark, tmp_path, sim):
+    """Crossing the sized capacity mid-crawl (tiny initial bits) must trigger
+    a transparent rebuild at a wider bit width with zero behavior change."""
+    cfg = CrawlConfig(
+        max_pages=10_000, max_depth=3, web=WEB,
+        bloom_min_seen=0, bloom_salts=4, bloom_bits=256,  # capacity ~85 urls
+    )
+    eng = CrawlEngine(spark, str(tmp_path / "resize"), cfg)
+    eng.run(SEEDS)
+    got = [r.url for r in _committed_in_order(eng)]
+    assert got == [c["url"] for c in sim.committed]
+    meta = eng.store.latest().state["bloom"]
+    assert meta["bits"] > 256, "capacity crossing must have widened the filter"
+    assert meta["salts"] == 4
+    # the stored filter really is at the resized width (bits/8 bytes per salt)
+    bm = eng.store.read(spark, "seen_bloom").collect()
+    assert all(len(bytes(r.bitmap)) == meta["bits"] // 8 for r in bm)
+
+
 def test_resume_from_snapshot(spark, tmp_path, sim, engine_result):
     """C13: kill between waves -> resume -> identical final state."""
     state_dir = str(tmp_path / "resume")

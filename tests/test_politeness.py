@@ -54,6 +54,50 @@ def test_crawl_delay_budget_caps_hosts_per_wave(spark, tmp_path):
     assert {r.url for r in rows} == {c["url"] for c in sim.committed}
 
 
+def test_deferral_with_budget_stop_and_pretrim(spark, tmp_path):
+    """Deferral combined with budget stops + pre-trim (the interaction the
+    round-2 advice flagged): deferred rows past the stop rank must not enter
+    pending twice, the depth histogram must stay consistent with the actual
+    pending rows (else rows strand uncrawled or the crawl double-commits),
+    and the budget must cut exactly at max_pages."""
+    cfg = CrawlConfig(
+        max_pages=13, max_depth=8, crawl_delay_s=1.0, wave_budget_s=2.0, web=WEB
+    )
+    eng = CrawlEngine(spark, str(tmp_path / "mix"), cfg)
+    out = eng.run(SEEDS, max_waves=80)
+    committed = eng.store.read(spark, "images").select("url", "rank").collect()
+    assert len(committed) == 13
+    assert len({r.url for r in committed}) == 13
+    # every snapshot's histogram must equal its actual pending table, with no
+    # duplicated (url, depth) entries (the double-insert bug drifts these)
+    store = eng.store
+    for f in sorted(
+        __import__("os").listdir(store.snap_dir)
+    ):
+        if not f.startswith("snap-"):
+            continue
+        import json as _json
+
+        with open(__import__("os").path.join(store.snap_dir, f)) as fh:
+            doc = _json.load(fh)
+        snap = store.latest().__class__(doc["snapshot_id"], doc["tables"], doc["state"])
+        pend = store.read(spark, "pending", snap)
+        if pend is None:
+            continue
+        rows = pend.collect()
+        hist = {int(k): v for k, v in doc["state"].get("pending_depths", {}).items()}
+        actual: dict[int, int] = {}
+        for r in rows:
+            actual[r.depth] = actual.get(r.depth, 0) + 1
+        assert {d: n for d, n in hist.items() if n > 0} == actual, f
+        pairs = [(r.url, r.depth) for r in rows]
+        assert len(pairs) == len(set(pairs)), f"duplicate pending rows in {f}"
+    # all committed urls are genuinely reachable pages of the synthetic web
+    sim = simulate_crawl(WEB, SEEDS, max_pages=10_000, max_depth=8)
+    sim_urls = {c["url"] for c in sim.committed}
+    assert {r.url for r in committed} <= sim_urls
+
+
 def test_no_politeness_leaves_slot_null(spark, tmp_path):
     eng = CrawlEngine(
         spark,
