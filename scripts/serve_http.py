@@ -34,7 +34,12 @@ CACHE_MAX = 3000  # SearchController.java:28-33 (Caffeine max size)
 
 
 def make_handler(spark, state_dir: str):
+    import threading
+
     cache: dict[tuple, list[dict]] = {}
+    # ThreadingHTTPServer serves concurrent requests off this one dict —
+    # guard get/put so eviction and insertion cannot race
+    cache_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 (http.server API)
@@ -44,16 +49,22 @@ def make_handler(spark, state_dir: str):
                 return
             qs = parse_qs(parts.query)
             query = (qs.get("query") or [""])[0]
-            page = int((qs.get("page") or ["1"])[0])
-            per_page = int((qs.get("resultsPerPage") or ["10"])[0])
+            try:
+                page = int((qs.get("page") or ["1"])[0])
+                per_page = int((qs.get("resultsPerPage") or ["10"])[0])
+                if page < 1 or per_page < 1:
+                    raise ValueError
+            except ValueError:
+                self.send_error(400, "page and resultsPerPage must be positive integers")
+                return
             key = (query, page, per_page)
-            if key not in cache:
+            with cache_lock:
+                hit = cache.get(key)
+            if hit is None:
                 from sher_look_spark.operators.webindex import search_pages
 
                 rows = search_pages(spark, state_dir, query, page, per_page).collect()
-                if len(cache) >= CACHE_MAX:
-                    cache.pop(next(iter(cache)))
-                cache[key] = [
+                hit = [
                     {
                         "url": r.url,
                         "title": r.title,
@@ -62,8 +73,12 @@ def make_handler(spark, state_dir: str):
                     }
                     for r in rows
                 ]
+                with cache_lock:
+                    if len(cache) >= CACHE_MAX:
+                        cache.pop(next(iter(cache)))
+                    cache[key] = hit
             body = json.dumps(
-                {"query": query, "page": page, "results": cache[key]}
+                {"query": query, "page": page, "results": hit}
             ).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")

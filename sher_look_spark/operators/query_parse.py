@@ -59,12 +59,14 @@ def search(
     doc_sizes: DataFrame,
     idf: DataFrame,
     pagerank: DataFrame | None,
-    query: str,
+    query: str | ParsedQuery | None,
     page: int = 1,
     per_page: int = 10,
     doc_col: str = "doc_id",
 ) -> DataFrame:
-    """Full ranked search: returns (doc_id, final_score) for the page slice."""
+    """Full ranked search: returns (doc_id, final_score) for the page slice.
+    ``query`` may be a raw string or an already-ParsedQuery (the serve tier
+    parses once and reuses it for snippet terms)."""
     from sher_look_spark.operators.ranking import (
         blend_scores,
         paginate,
@@ -72,7 +74,7 @@ def search(
         tfidf_scores,
     )
 
-    parsed = parse_query(query)
+    parsed = query if isinstance(query, ParsedQuery) else parse_query(query)
     if parsed is None:
         return spark.createDataFrame([], f"{doc_col} long, final_score double")
 

@@ -128,37 +128,68 @@ def index_incremental(spark: SparkSession, store: SnapshotStore) -> dict[str, in
     )
     snap = store.latest()
     wave = (snap.state.get("index_runs", 0) if snap else 0) + 1
+    state = dict(snap.state) if snap else {}
+    n_docs_total = state.get("indexed_docs_total", 0) + n
     appends = {
         "postings": [store.stage_write(idx["postings"], "postings", wave)],
         "documents_meta": [store.stage_write(new_meta, "documents_meta", wave)],
     }
-    state = dict(snap.state) if snap else {}
+    # IDF is corpus-global (N over df), so every index run recomputes it over
+    # the COMBINED postings and REPLACES the small idf table — the reference
+    # runs calculateIDF over the whole index after each run
+    # (Indexer.java:195, DatabaseHelper.java:544-567). The serve tier then
+    # reads it prebuilt instead of re-deriving it per query.
+    from sher_look_spark.operators.indexer import idf_table
+
+    old_postings = store.read(spark, "postings")
+    full_postings = (
+        idx["postings"] if old_postings is None
+        else old_postings.unionByName(idx["postings"])
+    )
+    replaces = {"idf": [store.stage_write(idf_table(full_postings, n_docs_total), "idf", wave)]}
     state["index_runs"] = wave
-    store.commit(appends=appends, state=state)
+    state["indexed_docs_total"] = n_docs_total
+    store.commit(appends=appends, replaces=replaces, state=state)
     todo.unpersist()
     return {"indexed": n}
 
 
 def store_pagerank(spark: SparkSession, store: SnapshotStore) -> DataFrame:
     """The reference's `page-rank` run mode: compute PageRank over the link
-    graph and persist it into the documents metadata (the distributed MERGE
-    analog of DatabaseHelper.updatePageRank :483). Rewrites documents_meta
-    with the page_rank column filled; returns the new meta frame."""
+    graph and persist it (DatabaseHelper.updatePageRank :483). Only the
+    CHANGED data — the (doc_id, page_rank) pairs — is written, replacing the
+    small `page_rank` table; `documents_meta` is not rewritten (under Iceberg
+    this is the MERGE that touches one column; here the delta stays
+    normalized and `read_documents_meta` joins it in at read time). Returns
+    the joined meta view with page_rank filled."""
     meta = store.read(spark, "documents_meta")
     if meta is None:
         raise ValueError("run index_incremental before page-rank")
     pr = pagerank_from_links(spark, store)
-    new_meta = (
-        meta.drop("page_rank")
-        .join(pr.withColumnRenamed("id", "doc_id").withColumnRenamed("rank", "page_rank"),
-              "doc_id", "left")
-        .select(*meta.columns)
-    )
     snap = store.latest()
     wave = (snap.state.get("index_runs", 0) if snap else 0)
-    rel = store.stage_write(new_meta, "documents_meta", wave)
-    store.commit(replaces={"documents_meta": [rel]}, state=dict(snap.state))
-    return store.read(spark, "documents_meta")
+    rel = store.stage_write(
+        pr.select(F.col("id").alias("doc_id"), F.col("rank").alias("page_rank")),
+        "page_rank", wave,
+    )
+    store.commit(replaces={"page_rank": [rel]}, state=dict(snap.state))
+    return read_documents_meta(spark, store)
+
+
+def read_documents_meta(spark: SparkSession, store: SnapshotStore) -> DataFrame | None:
+    """documents_meta with the latest page_rank table joined in (the read
+    side of store_pagerank's column-delta write)."""
+    meta = store.read(spark, "documents_meta")
+    if meta is None:
+        return None
+    prt = store.read(spark, "page_rank")
+    if prt is None:
+        return meta
+    return (
+        meta.drop("page_rank")
+        .join(prt, "doc_id", "left")
+        .select(*meta.columns)
+    )
 
 
 def pagerank_from_links(spark: SparkSession, store: SnapshotStore) -> DataFrame:
@@ -186,24 +217,53 @@ def pagerank_from_links(spark: SparkSession, store: SnapshotStore) -> DataFrame:
 def search_pages(
     spark: SparkSession, state_dir: str, query: str, page: int = 1, per_page: int = 10
 ) -> DataFrame:
-    """The `serve` tier: ranked (url, title, final_score, snippet) page slice."""
+    """The `serve` tier: ranked (url, title, final_score, snippet) page slice.
+
+    Serves from the PREBUILT index — postings / documents_meta / idf /
+    page_rank as written by ``index_incremental`` + ``store_pagerank`` — the
+    way the reference serves from its DatabaseHelper tables
+    (web/SearchController.java:41-90). Indexing on the fly happens only as a
+    cold fallback when no index snapshot exists. Snippets are generated
+    AFTER pagination, for just the page's ≤ per_page docs (reference order:
+    Ranker.java:623-637 -> :527-621) — corpus-wide snippet generation is
+    unbounded for a frequent term."""
     from sher_look_spark.operators.query_parse import parse_query, search
     from sher_look_spark.operators.ranking import snippets
 
     store = SnapshotStore(state_dir)
-    pages = store.read(spark, "pages")
-    idx = index_pages(pages)
-    pr = pagerank_from_links(spark, store)
-    ranked = search(
-        spark, idx["postings"], idx["doc_sizes"], idx["idf"], pr, query, page, per_page
-    )
+    postings = store.read(spark, "postings")
+    meta = read_documents_meta(spark, store)
+    idf = store.read(spark, "idf")
+    if postings is not None and meta is not None and idf is not None:
+        sizes = meta.select("doc_id", "document_size")
+        pr = meta.select(
+            F.col("doc_id").alias("id"), F.col("page_rank").alias("rank")
+        ).filter(F.col("rank").isNotNull())
+    else:  # cold fallback: no prebuilt index in the snapshot store
+        idx = index_pages(store.read(spark, "pages"))
+        postings, meta = idx["postings"], idx["documents_meta"]
+        sizes, idf = idx["doc_sizes"], idx["idf"]
+        pr = pagerank_from_links(spark, store)
     parsed = parse_query(query)
-    terms = parsed.tokens if parsed and not parsed.is_phrase else [
-        t for p in (parsed.phrases if parsed else []) for t in p.split()
-    ]
-    snips = snippets(idx["postings"], terms) if terms else None
-    out = ranked.join(idx["documents_meta"], "doc_id", "left")
-    if snips is not None:
+    # materialize the page slice once (≤ per_page rows): its plan — the whole
+    # ranking pipeline — is consumed three times below (meta join, postings
+    # prefilter, snippet fallback)
+    ranked = search(
+        spark, postings, sizes, idf, pr, parsed, page, per_page
+    ).localCheckpoint(eager=True)
+    terms = (
+        parsed.tokens if parsed and not parsed.is_phrase
+        else [t for p in (parsed.phrases if parsed else []) for t in p.split()]
+    )
+    out = ranked.join(meta, "doc_id", "left")
+    if terms:
+        page_postings = postings.join(
+            F.broadcast(ranked.select("doc_id")), "doc_id", "left_semi"
+        )
+        snips = snippets(
+            page_postings, terms,
+            docs=ranked.join(meta.select("doc_id", "description"), "doc_id", "left"),
+        )
         out = out.join(snips, "doc_id", "left")
     else:
         out = out.withColumn("snippet", F.lit(None).cast("string"))

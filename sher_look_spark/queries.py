@@ -854,6 +854,90 @@ SELECT DISTINCT doc_id FROM tokens WHERE word = 'slow'
 """
 
 
+# Fixed query list for the Q1 parser check: phrase/operator/keyword modes,
+# stop-word drops, phrase-count truncation, case folding
+# (QueryProcessor.java:34-136). The oracle embeds parse results computed at
+# SQL-generation time by the same driver-side parser — the check pins the
+# distributed Arrow-UDF plumbing (the i6_porter_stems pattern); the parse
+# SEMANTICS are pinned against reference goldens in tests/test_query_parse.py.
+PARSE_QUERIES = [
+    "machine learning systems",
+    "  The quick BROWN fox  ",
+    "running runs ran",
+    '"big data"',
+    '"big data" AND "fast queries"',
+    '"web search" OR "page rank"',
+    '"alpha beta" NOT "gamma delta"',
+    '"one two" AND "three" OR "four five"',
+    '"a1" AND "b2" OR "c3" NOT "d4"',
+    "spark-sql: merge, vectors!",
+    "the and of",
+    '"Mixed CASE Phrase"',
+]
+
+
+def q_q1_query_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: query parsing (mode detect, quoted phrases <=3, operators <=2,
+    keyword tokenize+stem with stop-word drop) run as an Arrow-batched UDF
+    over a query column — the distributed form of QueryProcessor.processQuery."""
+    from pyspark.sql.functions import pandas_udf
+
+    from sher_look_spark.operators.query_parse import parse_query
+
+    out_schema = T.StructType(
+        [
+            T.StructField("is_phrase", T.BooleanType()),
+            T.StructField("terms", T.StringType()),
+            T.StructField("stems", T.StringType()),
+            T.StructField("phrases", T.StringType()),
+            T.StructField("operators", T.StringType()),
+        ]
+    )
+
+    @pandas_udf(out_schema)
+    def parse(queries_s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for q in queries_s:
+            p = parse_query(q)
+            rows.append(
+                {
+                    "is_phrase": p.is_phrase,
+                    "terms": " ".join(p.tokens),
+                    "stems": " ".join(p.stems),
+                    "phrases": "|".join(p.phrases),
+                    "operators": ",".join(str(o) for o in p.operators),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    df = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(PARSE_QUERIES)], "query_id int, query string"
+    )
+    parsed = df.select("query_id", parse("query").alias("p"))
+    return parsed.select(
+        "query_id", "p.is_phrase", "p.terms", "p.stems", "p.phrases", "p.operators"
+    )
+
+
+def sql_q1() -> str:
+    from sher_look_spark.operators.query_parse import parse_query
+
+    vals = []
+    for i, q in enumerate(PARSE_QUERIES):
+        p = parse_query(q)
+        esc = lambda s: s.replace("'", "''")  # noqa: E731
+        vals.append(
+            f"({i}, {str(p.is_phrase).upper()}, '{esc(' '.join(p.tokens))}', "
+            f"'{esc(' '.join(p.stems))}', '{esc('|'.join(p.phrases))}', "
+            f"'{','.join(str(o) for o in p.operators)}')"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(query_id, is_phrase, terms, stems, phrases, operators)"
+    )
+
+
 # 8 fixed steps discriminate fully (dangling/damping/join errors diverge by
 # step 2 and compound); tol=0 selects the ZERO-per-iteration-collect chained
 # execution in operators.ranking.pagerank, so the whole power iteration runs
@@ -1563,6 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i8_postings_roundtrip": q_i8_postings_roundtrip,
         "i9_doc_sizes": q_i9_doc_sizes,
         "i11_idf": q_i11_idf,
+        "q1_query_parse": q_q1_query_parse,
         "q4_tfidf": q_q4_tfidf,
         "q5_phrase_match": q_q5_phrase_match,
         "q6_phrase_score": q_q6_phrase_score,
@@ -1617,6 +1702,7 @@ def oracle_sql() -> dict[str, str]:
         "i8_postings_roundtrip": sql_i4(),  # write->read-back must equal the source tokens
         "i9_doc_sizes": sql_i9(),
         "i11_idf": sql_i11(),
+        "q1_query_parse": sql_q1(),
         "q4_tfidf": sql_q4(),
         "q5_phrase_match": sql_q5(),
         "q6_phrase_score": sql_q6(),

@@ -18,7 +18,7 @@ from sher_look_spark.crawler.storage import SnapshotStore
 from sher_look_spark.operators.webindex import index_incremental, store_pagerank
 
 
-def test_search_endpoint_end_to_end(spark, tmp_path):
+def test_search_endpoint_end_to_end(spark, tmp_path, monkeypatch):
     from serve_http import make_handler
 
     web = synth.SynthWebConfig(n_hosts=4, pages_per_host=6, seed=33, timeout_pct=0)
@@ -29,6 +29,15 @@ def test_search_endpoint_end_to_end(spark, tmp_path):
     assert index_incremental(spark, store)["indexed"] > 0
     meta = store_pagerank(spark, store)
     assert meta.filter(meta.page_rank.isNotNull()).count() > 0
+
+    # the serve path must read the PREBUILT index — any call to the
+    # on-the-fly indexer on the warm path is the round-2 anti-pattern
+    import sher_look_spark.operators.webindex as wx
+
+    def _no_reindex(pages):
+        raise AssertionError("serve path re-indexed despite a prebuilt index")
+
+    monkeypatch.setattr(wx, "index_pages", _no_reindex)
 
     server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(spark, state))
     port = server.server_address[1]
@@ -51,5 +60,13 @@ def test_search_endpoint_end_to_end(spark, tmp_path):
             raise AssertionError("expected 404")
         except urllib.error.HTTPError as e:
             assert e.code == 404
+        # malformed pagination params are a clean 400, not a dropped socket
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/search?query=x&page=abc", timeout=30
+            )
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         server.shutdown()
