@@ -93,7 +93,13 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         return decode_png(data)
     if fmt == "raw":
         return decode_raw(data)
-    # Real decoders (jpeg/webp) need libs absent from this container.
+    if fmt in ("jpeg", "jpg"):
+        # baseline JPEG — the format that dominates real crawl payloads —
+        # via the pure-numpy T.81 codec (functions/jpegcodec.py)
+        from sher_look_spark.functions.jpegcodec import decode_jpeg
+
+        return decode_jpeg(bytes(data))
+    # webp would need a VP8 decoder; still stubbed.
     raise NotImplementedError(f"unsupported payload format: {fmt}")
 
 

@@ -45,6 +45,10 @@ class SynthWebConfig:
     timeout_pct: int = 4     # % of pages whose fetch times out
     img_min: int = 8
     img_max: int = 24
+    # page (ci, cj) serves a smooth-gradient JPEG (vs a noise PNG) when
+    # cj % jpeg_every == 0 — web-realistic payload mix through the real
+    # baseline codec; 0 disables (keeps pre-existing fixtures byte-stable)
+    jpeg_every: int = 0
 
 
 class FetchResult(NamedTuple):
@@ -192,16 +196,45 @@ def page_html(cfg: SynthWebConfig, host_idx: int, page_idx: int) -> str:
     )
 
 
-def page_image(cfg: SynthWebConfig, ci: int, cj: int) -> tuple[bytes, int, int, str, str, int]:
-    """(bytes, w, h, fmt, caption, phash) — derived from the content key."""
+def page_image_array(cfg: SynthWebConfig, ci: int, cj: int) -> tuple[np.ndarray, str]:
+    """(ideal pixel array, fmt) for page (ci, cj) — the pre-encode reference
+    pixels the PSNR fidelity check compares against."""
     rng = np.random.Generator(np.random.PCG64(_h(cfg, "img", ci, cj)))
     span = cfg.img_max - cfg.img_min + 1
     w = cfg.img_min + int(rng.integers(span))
     h = cfg.img_min + int(rng.integers(span))
-    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-    data = encode_png(arr)
+    if cfg.jpeg_every and cj % cfg.jpeg_every == 0:
+        # smooth half-period 2-D gradients: web-photo-like low-frequency
+        # content that survives the lossy codec at PSNR > 40 dB even when
+        # the whole image is a couple of 8x8 blocks (full-period harmonics
+        # concentrate energy in high DCT bins and fail the target; pure
+        # noise fails it by a mile — by design of the fidelity bar)
+        y, x = np.mgrid[0:h, 0:w].astype(np.float64)
+        chans = []
+        for _c in range(3):
+            py, px = rng.random(), rng.random()
+            chans.append(
+                128.0 + 45.0 * np.sin(2 * np.pi * (y / (2 * h) + py))
+                * np.cos(2 * np.pi * (x / (2 * w) + px))
+            )
+        return np.clip(np.floor(np.stack(chans, axis=-1)), 0, 255).astype(np.uint8), "jpeg"
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8), "png"
+
+
+def page_image(cfg: SynthWebConfig, ci: int, cj: int) -> tuple[bytes, int, int, str, str, int]:
+    """(bytes, w, h, fmt, caption, phash) — derived from the content key."""
+    arr, fmt = page_image_array(cfg, ci, cj)
+    h, w = arr.shape[:2]
+    if fmt == "jpeg":
+        from sher_look_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+        data = encode_jpeg(arr, quality=93)
+        # metadata (phash) describes the PAYLOAD as stored, i.e. post-codec
+        arr = decode_jpeg(data)
+    else:
+        data = encode_png(arr)
     caption = f"img host{ci} page{cj} " + " ".join(_words(cfg, "cap", ci, cj, 4))
-    return data, w, h, "png", caption, phash64(arr)
+    return data, w, h, fmt, caption, phash64(arr)
 
 
 def fetch(cfg: SynthWebConfig, url: str) -> FetchResult:

@@ -5,11 +5,13 @@ Images/audio/video ride as opaque `binary` columns with typed metadata
 Arrow-batched `mapInPandas` over numpy arrays: decode, resize, per-channel
 feature extraction, video frame sampling.
 
-Real vs stubbed (this container has no image/audio codecs):
+Real vs stubbed (this container has no image/audio libraries):
   * png / raw containers: REAL decode/encode (crawler/imaging.py)
+  * jpeg: REAL baseline decode/encode — pure-numpy T.81 codec
+    (functions/jpegcodec.py), covering the format real crawls actually see
   * fake video container 'vid0' (concatenated raw frames): REAL plumbing,
     deterministic content — stands in for mp4 until a codec lib exists
-  * jpeg/webp/mp3/mp4: dispatch exists, decode raises NotImplementedError
+  * webp/mp3/mp4: dispatch exists, decode raises NotImplementedError
     (clearly-marked stub; schema, partitioning, UDF signature and batch
     shape are the real thing)
 """
@@ -53,9 +55,9 @@ def decode_vid0(data: bytes) -> list[np.ndarray]:
 
 
 def _decode_any(data: bytes, fmt: str) -> np.ndarray:
-    if fmt in ("png", "raw"):
+    if fmt in ("png", "raw", "jpeg", "jpg"):
         return decode_image(bytes(data), fmt)
-    # STUB: real codecs unavailable in this container
+    # STUB: webp/mp3/mp4 codecs unavailable in this container
     raise NotImplementedError(f"decode for fmt={fmt!r} requires a codec library")
 
 

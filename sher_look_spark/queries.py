@@ -617,7 +617,79 @@ WHERE doc_id < 200 AND i < 1 + doc_id % 4 AND i % 2 = 0
 """
 
 
-# --------------------------------------------------------------------- index
+def q_mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal over JPEG: constant-color images encoded with the pure-numpy
+    baseline T.81 codec (functions/jpegcodec.py), decoded + feature-extracted
+    through the same Arrow mapInPandas path as every other payload format.
+    Constant blocks are DC-only, so the decoded value is the closed-form
+    quantize/dequantize/color-convert chain — which the oracle replays in
+    DOUBLE SQL arithmetic, term order matched to the numpy float64 ops."""
+    from pyspark.sql.functions import pandas_udf
+
+    from sher_look_spark.operators.multimodal import image_features
+
+    @pandas_udf(T.BinaryType())
+    def mkjpeg(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from sher_look_spark.functions.jpegcodec import encode_jpeg
+
+        out = []
+        for d in ids:
+            w, h = 8 + d % 9, 8 + d % 7  # non-multiples of 8 exercise padding
+            arr = np.zeros((h, w, 3), dtype=np.uint8)
+            arr[:, :, 0] = d % 256
+            arr[:, :, 1] = (3 * d) % 256
+            arr[:, :, 2] = (7 * d + 11) % 256
+            out.append(encode_jpeg(arr, quality=90))
+        return pd.Series(out)
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    jpegs = docs.select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        mkjpeg("doc_id").alias("bytes"),
+        F.lit("jpeg").alias("fmt"),
+    )
+    feats = image_features(jpegs)
+    return feats.select("image_id", "w", "h", "mean_r", "mean_g", "mean_b")
+
+
+def sql_mm_jpeg(quality: int = 90) -> str:
+    from sher_look_spark.functions.jpegcodec import QT_CHROMA, QT_LUMA, quality_scaled
+
+    qy = int(quality_scaled(QT_LUMA, quality)[0, 0])
+    qc = int(quality_scaled(QT_CHROMA, quality)[0, 0])
+    return f"""
+WITH px AS (
+  SELECT doc_id,
+         (doc_id % 256)::DOUBLE AS r,
+         ((3 * doc_id) % 256)::DOUBLE AS g,
+         ((7 * doc_id + 11) % 256)::DOUBLE AS b
+  FROM documents WHERE doc_id < 200
+),
+ycc AS (
+  SELECT doc_id,
+         r * 0.299 + g * 0.587 + b * 0.114 AS y,
+         r * -0.168736 + g * -0.331264 + b * 0.5 + 128.0 AS cb,
+         r * 0.5 + g * -0.418688 + b * -0.081312 + 128.0 AS cr
+  FROM px
+),
+rec AS (
+  -- quantize -> dequantize the DC-only block (F00 = 8*(v-128)), then the
+  -- decoder's +128 level unshift; cb2/cr2 are already centered (-128)
+  SELECT doc_id,
+         floor((y - 128.0) * 8.0 / {qy} + 0.5) * {qy} / 8.0 + 128.0 AS y2,
+         floor((cb - 128.0) * 8.0 / {qc} + 0.5) * {qc} / 8.0 AS cb2,
+         floor((cr - 128.0) * 8.0 / {qc} + 0.5) * {qc} / 8.0 AS cr2
+  FROM ycc
+)
+SELECT doc_id::VARCHAR AS image_id,
+       (8 + doc_id % 9)::INT AS w, (8 + doc_id % 7)::INT AS h,
+       least(greatest(floor(y2 + 1.402 * cr2 + 0.5), 0.0), 255.0) AS mean_r,
+       least(greatest(floor(y2 - 0.344136 * cb2 - 0.714136 * cr2 + 0.5), 0.0), 255.0) AS mean_g,
+       least(greatest(floor(y2 + 1.772 * cb2 + 0.5), 0.0), 255.0) AS mean_b
+FROM rec
+"""
 
 def q_i4_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I4: tokenizer with kept-only positions over the documents corpus."""
@@ -1672,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_features": q_mm_image_features,
         "mm_resize_roundtrip": q_mm_resize_roundtrip,
         "mm_frame_sample": q_mm_frame_sample,
+        "mm_jpeg_roundtrip": q_mm_jpeg_roundtrip,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_region_revenue": q_rel_region_revenue,
         "rel_running_window": q_rel_running_window,
@@ -1727,6 +1800,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_image_features": SQL_MM_FEATURES,
         "mm_resize_roundtrip": SQL_MM_RESIZE,
         "mm_frame_sample": SQL_MM_FRAMES,
+        "mm_jpeg_roundtrip": sql_mm_jpeg(),
         "rel_pricing_summary": SQL_REL_PRICING,
         "rel_region_revenue": SQL_REL_REGION_REVENUE,
         "rel_running_window": SQL_REL_RUNNING,

@@ -41,9 +41,19 @@ def test_raw_roundtrip():
 def test_decode_image_dispatch_and_stub():
     arr = _img(3)
     assert np.array_equal(decode_image(encode_png(arr), "png"), arr)
+    # jpeg now routes to the real baseline codec (functions/jpegcodec.py)
+    from sher_look_spark.functions.jpegcodec import encode_jpeg
+    from sher_look_spark.crawler.imaging import psnr
+
+    assert psnr(arr, decode_image(encode_jpeg(arr, 95), "jpeg")) >= 30.0
     try:
-        decode_image(b"\xff\xd8...", "jpeg")
-        raise AssertionError("expected NotImplementedError for jpeg")
+        decode_image(b"\x00garbage", "jpeg")
+        raise AssertionError("expected ValueError for malformed jpeg")
+    except ValueError:
+        pass
+    try:
+        decode_image(b"RIFF....WEBP", "webp")
+        raise AssertionError("expected NotImplementedError for webp")
     except NotImplementedError:
         pass
 

@@ -1,0 +1,118 @@
+"""Pure-numpy baseline JPEG codec (functions/jpegcodec.py): round-trip PSNR
+>= 40 dB on web-photo-like content (the input_hint payload invariant), marker
+structure, error paths, and the crawl engine carrying JPEG payloads
+end-to-end with payload fidelity vs the ideal pre-encode pixels."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sher_look_spark.crawler.imaging import psnr
+from sher_look_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+
+def _smooth(h, w, seed=3):
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w].astype(np.float64)
+    chans = []
+    for _ in range(3):
+        py, px = rng.random(), rng.random()
+        chans.append(
+            128 + 45 * np.sin(2 * np.pi * (y / (2 * h) + py))
+            * np.cos(2 * np.pi * (x / (2 * w) + px))
+        )
+    return np.clip(np.floor(np.stack(chans, axis=-1)), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (21, 19), (37, 53), (64, 48)])
+def test_roundtrip_psnr_above_40(shape):
+    arr = _smooth(*shape)
+    for q in (93, 95):
+        dec = decode_jpeg(encode_jpeg(arr, q))
+        assert dec.shape == arr.shape
+        assert psnr(arr, dec) >= 40.0, (shape, q)
+
+
+def test_constant_image_roundtrips_near_exact():
+    arr = np.zeros((11, 13, 3), np.uint8)
+    arr[...] = (200, 30, 90)
+    dec = decode_jpeg(encode_jpeg(arr, 90))
+    # DC-only blocks: every pixel identical, within quantization of the DC
+    assert len({tuple(p) for p in dec.reshape(-1, 3)}) == 1
+    assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 3
+
+
+def test_gradient_quality_monotonic():
+    y, x = np.mgrid[0:32, 0:40]
+    arr = ((y * 3 + x * 2) % 256).astype(np.uint8)[..., None].repeat(3, axis=2)
+    p_low = psnr(arr, decode_jpeg(encode_jpeg(arr, 60)))
+    p_high = psnr(arr, decode_jpeg(encode_jpeg(arr, 95)))
+    assert p_high > p_low >= 30.0
+
+
+def test_marker_structure_and_errors():
+    arr = _smooth(16, 16)
+    data = encode_jpeg(arr, 90)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert b"JFIF\x00" in data[:32]
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+    with pytest.raises((ValueError, NotImplementedError, struct_error := Exception)):
+        decode_jpeg(data[: len(data) // 2])  # truncated stream
+
+
+def test_bitstream_has_no_bare_ff(tmp_path):
+    """Entropy bytes 0xFF must be stuffed with 0x00 (T.81 B.1.1.5)."""
+    arr = _smooth(40, 40, seed=9)
+    data = encode_jpeg(arr, 92)
+    # scan section starts after SOS header
+    sos = data.find(b"\xff\xda")
+    seglen = int.from_bytes(data[sos + 2 : sos + 4], "big")
+    scan = data[sos + 2 + seglen : -2]
+    i = 0
+    while i < len(scan) - 1:
+        if scan[i] == 0xFF:
+            assert scan[i + 1] == 0x00, f"bare 0xFF at {i}"
+            i += 2
+        else:
+            i += 1
+
+
+def test_crawl_carries_jpeg_payloads_with_fidelity(spark, tmp_path):
+    """End-to-end: the synthetic web serves a JPEG mix (jpeg_every), the wave
+    engine fetches/dedups/commits them, and every committed JPEG decodes to
+    >= 40 dB PSNR against the IDEAL pre-encode pixels (a genuinely lossy
+    check, unlike the PNG rows where stored == reference bytes)."""
+    from sher_look_spark.crawler import synth
+    from sher_look_spark.crawler.engine import CrawlConfig, CrawlEngine
+    from sher_look_spark.crawler.imaging import decode_image
+    from sher_look_spark.crawler.simulator import simulate_crawl
+
+    web = synth.SynthWebConfig(
+        n_hosts=5, pages_per_host=8, seed=77, timeout_pct=0, dup_every=0,
+        jpeg_every=2, img_min=12, img_max=28,
+    )
+    seeds = synth.seed_urls(web, 3)
+    eng = CrawlEngine(
+        spark, str(tmp_path / "jp"), CrawlConfig(max_pages=1000, max_depth=2, web=web)
+    )
+    eng.run(seeds)
+    rows = eng.store.read(spark, "images").collect()
+    sim = simulate_crawl(web, seeds, max_pages=1000, max_depth=2)
+    assert {r.url for r in rows} == {c["url"] for c in sim.committed}
+    fmts = {r.fmt for r in rows}
+    assert fmts == {"jpeg", "png"}, fmts
+    n_jpeg = 0
+    for r in rows:
+        parsed = synth.parse_page_url(web, r.url)
+        ci, cj = synth.content_key(web, *parsed)
+        ideal, fmt = synth.page_image_array(web, ci, cj)
+        got = decode_image(bytes(r.bytes), r.fmt)
+        assert got.shape == ideal.shape
+        if fmt == "jpeg":
+            n_jpeg += 1
+            assert psnr(ideal, got) >= 40.0, r.url
+        else:
+            assert np.array_equal(got, ideal)
+    assert n_jpeg >= 5
