@@ -35,11 +35,18 @@ def entry(spark: SparkSession) -> DataFrame:
     sizes = document_sizes(toks)
     idf = idf_table(toks, n_docs=docs.count())
     scores = tfidf_scores(toks, sizes, idf, QUERY_TERMS)
-    snips = snippets(toks, QUERY_TERMS, window=15)
+    # paginate FIRST (TakeOrderedAndProject), then snippets for just the
+    # shown docs — the reference's order (Ranker.java:623-637 -> :527-621);
+    # corpus-wide snippet generation is unbounded for a frequent term
+    top = (
+        scores.orderBy(F.desc("tfidf"), "doc_id").limit(10)
+        .localCheckpoint(eager=True)  # consumed twice below; plan is the whole ranking
+    )
+    page_toks = toks.join(F.broadcast(top.select("doc_id")), "doc_id", "left_semi")
+    snips = snippets(page_toks, QUERY_TERMS, window=15)
     return (
-        scores.join(snips, "doc_id", "left")
+        top.join(snips, "doc_id", "left")
         .orderBy(F.desc("tfidf"), "doc_id")
-        .limit(10)
         .select("doc_id", F.round("tfidf", 6).alias("tfidf"), "snippet")
     )
 

@@ -679,11 +679,27 @@ class CrawlEngine:
                 survivors = survivors.filter(F.col("rank") <= stop_rank)
         committed_slim = survivors.persist()
         _mark("plan")
-        cstats = committed_slim.agg(
+        # Deferred wave stats: when neither the page budget (n_wave <= budget)
+        # nor the queue cap (raw links bounded by n_wave * max_links) can
+        # possibly bind, the stats aggregation gates NO decision this wave —
+        # so it runs concurrently with the table writes below instead of
+        # standing as its own serial pipeline barrier. Cuts the per-wave
+        # serial constant from 3 driver barriers to 2 (the child-rank offsets
+        # and the write pool), which is what the N->4N scaling protocol
+        # amortizes (Amdahl on the per-wave constant).
+        _cstats_agg = lambda: committed_slim.agg(  # noqa: E731
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum("n_links"), F.lit(0)).alias("raw_links"),
         ).collect()[0]
-        n_committed, n_raw_links = cstats.n, cstats.raw_links
+        stats_deferred = (
+            n_wave <= budget
+            and n_pending_total + n_wave * self.cfg.web.max_links <= self.cfg.queue_cap
+        )
+        if stats_deferred:
+            n_committed = n_raw_links = None
+        else:
+            cstats = _cstats_agg()
+            n_committed, n_raw_links = cstats.n, cstats.raw_links
         committed = fetched.join(
             F.broadcast(committed_slim.select("rank")), "rank", "left_semi"
         ).persist()
@@ -693,7 +709,7 @@ class CrawlEngine:
         next_rank = state["next_rank"]
         accepted = None
         links_df = None
-        if min_depth < self.cfg.max_depth and n_committed > 0:
+        if min_depth < self.cfg.max_depth and (n_committed is None or n_committed > 0):
             exploded = committed.select(
                 F.col("url").alias("parent_url"),
                 F.col("depth").alias("parent_depth"),
@@ -722,9 +738,11 @@ class CrawlEngine:
                 children_all = children_all.join(pend_pairs, "child", "left_anti")
 
             # queue cap (PersistentQueue.java:22,97): accept-all fast path when
-            # the cap cannot bind (raw link count bounds accepted children);
-            # exact DISTRIBUTED admission replay otherwise.
-            if n_pending_total + n_raw_links > self.cfg.queue_cap:
+            # the cap cannot bind (raw link count bounds accepted children;
+            # n_raw_links is None only when the max_links bound already
+            # proved the cap unreachable); exact DISTRIBUTED admission
+            # replay otherwise.
+            if n_raw_links is not None and n_pending_total + n_raw_links > self.cfg.queue_cap:
                 polled_wave = wave_cand
                 if deferred is not None:
                     polled_wave = polled_wave.join(
@@ -891,7 +909,7 @@ class CrawlEngine:
                 while (self.cfg.bloom_salts * bloom_bits) // 12 < 2 * seen_ub_new:
                     bloom_bits *= 2
                 bloom_df = None  # forces the full rebuild path in _stage_bloom
-        with ThreadPoolExecutor(max_workers=len(write_jobs) + 1) as pool:
+        with ThreadPoolExecutor(max_workers=len(write_jobs) + 2) as pool:
             futures = {
                 name: pool.submit(self.store.stage_write, df, table, w, pb)
                 for name, (df, table, w, pb) in write_jobs.items()
@@ -901,8 +919,12 @@ class CrawlEngine:
                 if bloom_on
                 else None
             )
+            stats_fut = pool.submit(_cstats_agg) if stats_deferred else None
             rels = {name: fut.result() for name, fut in futures.items()}
             bloom_rel = bloom_fut.result() if bloom_fut is not None else None
+            if stats_fut is not None:
+                cstats = stats_fut.result()
+                n_committed = cstats.n
         _mark("table_writes")
         appends: dict[str, list[str]] = {
             "images": [rels["images"]],
