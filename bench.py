@@ -20,6 +20,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: pandas-UDF type hints resolve here
+
 
 HEADLINE = [
     "rel_pricing_summary",
@@ -67,16 +69,15 @@ def run_queries() -> dict:
     # the Arrow/pandas worker pool, and the parquet footer reader — so the
     # FIRST timed query measures the query, not cold-start (round-2's
     # rel_pricing_summary 10.8s was almost entirely this).
-    import pandas as _pd
-    from pyspark.sql.functions import pandas_udf as _pudf
-    from pyspark.sql import functions as _F
-    from pyspark.sql import types as _T
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-    @_pudf(_T.LongType())
-    def _warm(v: _pd.Series) -> _pd.Series:
+    @pandas_udf(T.LongType())
+    def _warm(v: pd.Series) -> pd.Series:
         return v
 
-    spark.range(100_000).select(_F.sum(_warm("id"))).collect()
+    spark.range(100_000).select(F.sum(_warm("id"))).collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
