@@ -152,9 +152,13 @@ def crawl_throughput(
 
 def _tree_cpu_secs() -> float:
     """Cumulative utime+stime of this process and every live descendant
-    (JVM gateway, pyspark workers), plus reaped-children time. Dead
-    unreaped descendants are missed — acceptable for run-over-run deltas
-    (the gateway JVM and worker pools live for the whole bench)."""
+    (JVM gateway, pyspark workers), PLUS each survivor's reaped-children
+    time (cutime+cstime): pyspark worker processes come and go between
+    stages, and their CPU folds into the daemon's cutime on reap — counting
+    only live utime/stime lost most of the codec CPU and reported
+    delivered-parallelism ~0.3 while the load average showed ~3 (the
+    round-3 forensics undercounted for the same reason). Orphans reaped by
+    init are still missed — acceptable for run-over-run deltas."""
     import resource
 
     clk = os.sysconf("SC_CLK_TCK")
@@ -168,7 +172,10 @@ def _tree_cpu_secs() -> float:
             with open(f"/proc/{d}/stat") as fh:
                 parts = fh.read().rsplit(")", 1)[1].split()
             parents[int(d)] = int(parts[1])
-            ticks[int(d)] = int(parts[11]) + int(parts[12])
+            # utime + stime + cutime + cstime (dead children, already reaped)
+            ticks[int(d)] = (
+                int(parts[11]) + int(parts[12]) + int(parts[13]) + int(parts[14])
+            )
         except OSError:
             continue
     total = 0
@@ -247,7 +254,7 @@ def run_skew(n_urls: int = 60000) -> dict:
     out = {}
     for label, part in (
         ("by_host", [F.expr("parse_url(url, 'HOST')")]),
-        ("salted", [F.pmod(F.col("rank"), F.lit(64))]),
+        ("salted", [F.col("rank")]),  # rank-hash: uniform over ALL partitions
     ):
         t0 = time.time()
         n = (

@@ -104,6 +104,14 @@ class CrawlConfig:
     # the filter engages only once `seen` outgrows broadcast scale. Crossing
     # the threshold triggers the automatic one-time full rebuild.
     bloom_min_seen: int = 2_000_000
+    # Above this many wave candidates, per-host politeness slots switch from
+    # a plain Window.partitionBy(host) row_number (one reducer task pins on a
+    # hot host) to the distributed two-pass assignment (_host_slots_skewfree:
+    # range-partition on (host, rank) so a hot host SPANS tasks, then
+    # per-host cross-partition offsets from the tiny (partition, host) count
+    # table). Identical slot numbers either way; the threshold only trades
+    # the extra exchange against the single-reducer risk.
+    politeness_window_max: int = 1_000_000
     web: synth.SynthWebConfig = field(default_factory=synth.SynthWebConfig)
 
 
@@ -317,6 +325,7 @@ class CrawlEngine:
         self._norm = _normalize_udf()
         self._uh = _urlhash_udf()
         self._canon = _canonicalize_href_udf()
+        self._wave_handles: list[DataFrame] = []
 
     # ------------------------------------------------------------------ setup
     def seed(self, seeds: list[str]) -> None:
@@ -406,11 +415,18 @@ class CrawlEngine:
                 )
             return cpdf.assign(_maybe=flags)
 
+        # persisted for the wave: both the fresh and the suspects branch read
+        # `flagged`, and without the cache the cogroup shuffle (plus its
+        # upstream canonicalize UDF and first-rank-wins window) would execute
+        # once per branch per downstream action. Unpersisted in run_wave's
+        # cleanup via _wave_handles.
         flagged = (
             cands.groupBy("salt")
             .cogroup(bloom_df.groupBy("salt"))
             .applyInPandas(probe, out_schema)
+            .persist()
         )
+        self._wave_handles.append(flagged)
         suspects = flagged.filter(F.col("_maybe"))
         fresh = flagged.filter(~F.col("_maybe"))
         if n_wave <= self.cfg.suspect_broadcast_max:
@@ -421,6 +437,47 @@ class CrawlEngine:
         else:
             cleared = suspects.join(seen.select("url_hash"), "url_hash", "left_anti")
         return fresh.unionByName(cleared).drop("_maybe", "salt")
+
+    def _host_slots_skewfree(self, winners: DataFrame) -> DataFrame:
+        """Per-host politeness slot numbers WITHOUT a per-host single-reducer
+        window: at 10^8-row waves `Window.partitionBy(host)` pins a hot
+        host's entire candidate set on one task. Same two-pass shape as
+        `_parent_offset_ranks`, fully distributed (no driver collect):
+
+        1. range-repartition on (host, rank) — a hot host SPANS consecutive
+           partitions, each bounded by partition size;
+        2. local row_number per (partition, host);
+        3. per-host cross-partition offsets from the (partition, host) count
+           table — one row per (partition, host), so the offset window
+           touches <= nparts rows per host, never the candidates themselves.
+
+        Slot numbers are identical to the plain window's (host_slot = 1-based
+        position within host in rank order)."""
+        nparts = max(self.spark.sparkContext.defaultParallelism, 2)
+        sdf = (
+            winners.repartitionByRange(nparts, "host", "rank")
+            .withColumn("_pid", F.spark_partition_id())
+            .persist()
+        )
+        self._wave_handles.append(sdf)
+        counts = sdf.groupBy("_pid", "host").agg(F.count(F.lit(1)).alias("_n"))
+        w_off = (
+            Window.partitionBy("host")
+            .orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = counts.withColumn(
+            "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+        ).drop("_n")
+        w_local = Window.partitionBy("_pid", "host").orderBy("rank")
+        return (
+            sdf.join(offsets, ["_pid", "host"])
+            .withColumn(
+                "host_slot",
+                (F.col("_off") + F.row_number().over(w_local)).cast("int"),
+            )
+            .drop("_pid", "_off")
+        )
 
     def _wave_bitmaps(self, hashes_df: DataFrame, n_bits: int) -> DataFrame:
         """(salt, bitmap) bitmaps for a batch of url hashes — built where the
@@ -518,6 +575,9 @@ class CrawlEngine:
         t0 = time.time()
         _tprev = [t0]
         phase_secs: dict[str, float] = {}
+        # wave-scoped persist handles created inside helpers (_seen_filter's
+        # flagged cache); unpersisted in the cleanup block below
+        self._wave_handles: list[DataFrame] = []
 
         def _mark(name: str) -> None:
             now = time.time()
@@ -623,8 +683,13 @@ class CrawlEngine:
         if host_cap is None and self.cfg.crawl_delay_s is not None:
             host_cap = max(1, int(self.cfg.wave_budget_s / self.cfg.crawl_delay_s))
         if host_cap is not None:
-            w_host = Window.partitionBy("host").orderBy("rank")
-            winners = winners.withColumn("host_slot", F.row_number().over(w_host))
+            if n_wave > self.cfg.politeness_window_max:
+                winners = self._host_slots_skewfree(winners)
+            else:
+                w_host = Window.partitionBy("host").orderBy("rank")
+                winners = winners.withColumn(
+                    "host_slot", F.row_number().over(w_host)
+                )
             deferred = winners.filter(F.col("host_slot") > host_cap)
             winners = winners.filter(F.col("host_slot") <= host_cap)
             if self.cfg.crawl_delay_s is not None:
@@ -650,9 +715,19 @@ class CrawlEngine:
         )
         allowed = joined.filter(F.col("allowed")).select("norm", "depth", "rank")
 
-        # --- C8: batched fetch, salted round-robin so hot hosts spread out
-        nparts = self.cfg.fetch_partitions or self.spark.sparkContext.defaultParallelism
-        fetch_in = allowed.withColumnRenamed("norm", "url").repartition(nparts, F.pmod(F.col("rank"), F.lit(nparts)))
+        # --- C8: batched fetch, rank-hash partitioned so hot hosts spread
+        # out. Hash the RAW rank (high cardinality -> uniform over all
+        # partitions): hashing pmod(rank, nparts) — n salt VALUES into n
+        # hash buckets — leaves ~1/e of the fetch partitions EMPTY by
+        # birthday collision (measured: 4-5 busy of 8 at local[8]), i.e.
+        # the fetch stage ran on ~2/3 of the cluster. 3x partitions per
+        # core lets the scheduler smooth the per-task payload-size spread.
+        nparts = self.cfg.fetch_partitions or (
+            3 * self.spark.sparkContext.defaultParallelism
+        )
+        fetch_in = allowed.withColumnRenamed("norm", "url").repartition(
+            nparts, F.col("rank")
+        )
         fetched = fetch_in.mapInPandas(_make_fetch_mapper(self.cfg.web), FETCH_SCHEMA).persist()
 
         # --- C9: content dedup (cross-wave anti-join + within-wave window).
@@ -985,6 +1060,9 @@ class CrawlEngine:
             accepted.unpersist()
         if _rank_tmp is not None:
             _rank_tmp.unpersist()
+        for h in self._wave_handles:
+            h.unpersist()
+        self._wave_handles = []
         return {"done": False, **metrics_row, **new_state}
 
     def _imgid(self, col: str):

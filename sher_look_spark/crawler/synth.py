@@ -228,7 +228,12 @@ def page_image(cfg: SynthWebConfig, ci: int, cj: int) -> tuple[bytes, int, int, 
     if fmt == "jpeg":
         from sher_look_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
 
-        data = encode_jpeg(arr, quality=93)
+        # web-sized images get the 4:2:0 subsampling virtually every real
+        # web encoder emits; tiny thumbnails stay 4:4:4 (2x2 chroma decimation
+        # on a couple-of-blocks image cannot hold the PSNR>=40 dB payload
+        # contract, and real encoders special-case small images the same way)
+        sub = "420" if min(h, w) >= 32 else "444"
+        data = encode_jpeg(arr, quality=93, subsampling=sub)
         # metadata (phash) describes the PAYLOAD as stored, i.e. post-codec
         arr = decode_jpeg(data)
     else:

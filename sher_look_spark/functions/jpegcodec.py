@@ -1,13 +1,20 @@
-"""Pure-numpy baseline JPEG codec (ITU-T T.81 baseline sequential, 4:4:4).
+"""Pure-numpy baseline JPEG codec (ITU-T T.81 baseline sequential).
 
 The container ships no image libraries, but real crawl payloads are
 overwhelmingly JPEG — so the engine carries a minimal-but-real codec built
 from the public spec: standard Annex-K quantization + Huffman tables, 8x8
 DCT as an orthonormal matrix product, JFIF YCbCr color transform, canonical
-Huffman bitstreams with 0xFF byte stuffing. Encode writes baseline 4:4:4
-(no subsampling keeps the PSNR comfortably above the input_hint's 40 dB
-target at quality >= ~85); decode handles baseline sequential 4:4:4 frames
-and rejects progressive / subsampled streams explicitly.
+Huffman bitstreams with 0xFF byte stuffing. Encode writes baseline 4:4:4 or
+4:2:0 (``subsampling="420"`` box-averages chroma 2x2 and interleaves
+2x2+1+1 MCUs). Decode handles baseline sequential frames at any sampling
+factor in {1,2}x{1,2} per component — 4:4:4, 4:2:2, 4:4:0 and the 4:2:0
+virtually every real web JPEG uses — plus single-component (grayscale)
+frames; chroma upsampling is the classic triangular ("fancy") filter,
+exact on constant planes. Scan components map to
+planes by SOF component id, not scan position, so a conformant stream whose
+SOS lists components in an unusual order still decodes with correct
+channels. Progressive (SOF2), arithmetic coding, restart intervals and
+16-bit quant tables are rejected explicitly.
 
 All block math is vectorized numpy (the per-batch path under
 operators.multimodal's mapInPandas); only the entropy coder walks symbols in
@@ -203,14 +210,57 @@ def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
 
 
-def _to_blocks(plane: np.ndarray) -> np.ndarray:
-    """(H, W) -> (nby, nbx, 8, 8) with edge-replication padding."""
+def _to_blocks(plane: np.ndarray, align: int = 8) -> np.ndarray:
+    """(H, W) -> (nby, nbx, 8, 8) with edge-replication padding to a
+    multiple of ``align`` (16 for the luma plane of an interleaved 4:2:0
+    frame: Y blocks must tile whole MCUs)."""
     h, w = plane.shape
-    ph, pw = -h % 8, -w % 8
+    ph, pw = -h % align, -w % align
     if ph or pw:
         plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
     hh, ww = plane.shape
     return plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _triangle_upsample2(comp: np.ndarray, ry: int, rx: int) -> np.ndarray:
+    """Factor-2 triangular-filter upsample per axis (the classic libjpeg
+    "fancy" h2v2 filter: nearest sample weighted 3/4, next-nearest 1/4, edges
+    replicated). Exact on constant planes, ~3-6 dB better than pixel
+    replication on smooth chroma."""
+
+    def up_axis(a: np.ndarray, axis: int) -> np.ndarray:
+        n = a.shape[axis]
+        idx = np.arange(n)
+        left = np.take(a, np.maximum(idx - 1, 0), axis=axis)
+        right = np.take(a, np.minimum(idx + 1, n - 1), axis=axis)
+        even = 0.75 * a + 0.25 * left
+        odd = 0.75 * a + 0.25 * right
+        out_shape = list(a.shape)
+        out_shape[axis] = 2 * n
+        out = np.empty(out_shape, dtype=np.float64)
+        sl_even = [slice(None)] * a.ndim
+        sl_even[axis] = slice(0, 2 * n, 2)
+        sl_odd = [slice(None)] * a.ndim
+        sl_odd[axis] = slice(1, 2 * n, 2)
+        out[tuple(sl_even)] = even
+        out[tuple(sl_odd)] = odd
+        return out
+
+    if ry == 2:
+        comp = up_axis(comp, 0)
+    if rx == 2:
+        comp = up_axis(comp, 1)
+    return comp
+
+
+def _box_downsample2(plane: np.ndarray) -> np.ndarray:
+    """2x2 box average (the reference chroma subsampler; constant regions
+    stay exact, which keeps the DC-only oracle fixtures closed-form)."""
+    h, w = plane.shape
+    if h % 2 or w % 2:
+        plane = np.pad(plane, ((0, -h % 2), (0, -w % 2)), mode="edge")
+        h, w = plane.shape
+    return plane.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
 
 
 def _dct_blocks(blocks: np.ndarray) -> np.ndarray:
@@ -221,10 +271,56 @@ def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
     return np.einsum("ji,abjk,kl->abil", _C, coefs, _C)
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
-    """HxWx3 uint8 RGB -> baseline 4:4:4 JFIF bytes."""
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: list[int], c: int,
+                  t: int, dc_codes: list[dict], ac_codes: list[dict]) -> None:
+    """Entropy-code one quantized zigzag block (DC diff + AC run/size)."""
+    diff = int(zz[0]) - pred[c]
+    pred[c] = int(zz[0])
+    size, bits = _magnitude(diff)
+    code, ln = dc_codes[t][size]
+    bw.write(code, ln)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    last_nz = np.nonzero(zz[1:])[0]
+    last = last_nz[-1] + 1 if len(last_nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[t][0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, ln = ac_codes[t][(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(bits, size)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[t][0x00]  # EOB
+        bw.write(code, ln)
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    scan_order: tuple[int, int, int] = (1, 2, 3),
+) -> bytes:
+    """HxWx3 uint8 RGB -> baseline JFIF bytes.
+
+    ``subsampling``: "444" (1x1x1) or "420" (Y 2x2, chroma box-averaged 2x2
+    — what real web encoders emit). ``scan_order``: component-id order in
+    the SOS/entropy stream (non-default orders are conformant streams used
+    to test decoder cid mapping)."""
     if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("expected HxWx3 uint8 array")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    if sorted(scan_order) != [1, 2, 3]:
+        raise ValueError("scan_order must be a permutation of (1, 2, 3)")
     h, w, _ = arr.shape
     qt = [quality_scaled(QT_LUMA, quality), quality_scaled(QT_CHROMA, quality)]
     ycc = rgb_to_ycbcr(arr)
@@ -234,61 +330,52 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     ac_codes = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
                 _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
 
-    # quantized zigzag coefficients per component, (nblocks, 64)
+    sub = subsampling == "420"
+    # per-component quantized zigzag blocks as (nby, nbx, 64)
     comps = []
     for c in range(3):
         t = 0 if c == 0 else 1
-        blocks = _to_blocks(ycc[..., c] - 128.0)
+        plane = ycc[..., c]
+        if sub and c > 0:
+            plane = _box_downsample2(plane)
+        align = 16 if (sub and c == 0) else 8
+        blocks = _to_blocks(plane - 128.0, align)
         coefs = _dct_blocks(blocks)
         q = np.floor(coefs / qt[t] + 0.5).astype(np.int32)  # round-half-up
-        zz = q.reshape(-1, 64)[:, ZIGZAG]
-        comps.append(zz)
+        nby, nbx = q.shape[:2]
+        comps.append(q.reshape(nby, nbx, 64)[..., ZIGZAG])
 
     bw = _BitWriter()
     pred = [0, 0, 0]
-    # 4:4:4, interleaved MCU = one block per component
-    for bi in range(comps[0].shape[0]):
-        for c in range(3):
-            t = 0 if c == 0 else 1
-            zz = comps[c][bi]
-            diff = int(zz[0]) - pred[c]
-            pred[c] = int(zz[0])
-            size, bits = _magnitude(diff)
-            code, ln = dc_codes[t][size]
-            bw.write(code, ln)
-            if size:
-                bw.write(bits, size)
-            run = 0
-            last_nz = np.nonzero(zz[1:])[0]
-            last = last_nz[-1] + 1 if len(last_nz) else 0
-            for k in range(1, last + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[t][0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                size, bits = _magnitude(v)
-                code, ln = ac_codes[t][(run << 4) | size]
-                bw.write(code, ln)
-                bw.write(bits, size)
-                run = 0
-            if last < 63:
-                code, ln = ac_codes[t][0x00]  # EOB
-                bw.write(code, ln)
+    mcuy, mcux = comps[2].shape[:2]  # chroma block grid == MCU grid
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid in scan_order:
+                c = cid - 1
+                t = 0 if c == 0 else 1
+                if sub and c == 0:  # 2x2 luma blocks per MCU, row-major
+                    for v in (0, 1):
+                        for u in (0, 1):
+                            _encode_block(
+                                bw, comps[0][2 * my + v, 2 * mx + u],
+                                pred, c, t, dc_codes, ac_codes,
+                            )
+                else:
+                    _encode_block(
+                        bw, comps[c][my, mx], pred, c, t, dc_codes, ac_codes
+                    )
     bw.flush()
 
+    samp = [0x22, 0x11, 0x11] if sub else [0x11, 0x11, 0x11]
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for t in (0, 1):  # DQT in zigzag order
         zzq = qt[t].reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([t]) + zzq
-    # SOF0: precision 8, 3 components, all 1x1 sampling
+    # SOF0: precision 8, 3 components
     sof = struct.pack(">BHHB", 8, h, w, 3)
     for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, tq])
+        sof += bytes([cid, samp[cid - 1], tq])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     for cls, tid, bits, vals in (
         (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
@@ -298,10 +385,50 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     ):
         body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
-    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    sos = bytes([3]) + b"".join(
+        bytes([cid, 0x00 if cid == 1 else 0x11]) for cid in scan_order
+    ) + bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_gray(arr: np.ndarray, quality: int = 90) -> bytes:
+    """HxW uint8 grayscale -> baseline single-component JFIF bytes (the
+    grayscale frames real crawls also see; exercises the decoder's
+    1-component path)."""
+    if arr.dtype != np.uint8 or arr.ndim != 2:
+        raise ValueError("expected HxW uint8 array")
+    h, w = arr.shape
+    qt = quality_scaled(QT_LUMA, quality)
+    dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+    ac_codes = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)]
+    blocks = _to_blocks(arr.astype(np.float64) - 128.0)
+    coefs = _dct_blocks(blocks)
+    q = np.floor(coefs / qt + 0.5).astype(np.int32)
+    zz = q.reshape(-1, 64)[:, ZIGZAG]
+    bw = _BitWriter()
+    pred = [0]
+    for bi in range(zz.shape[0]):
+        _encode_block(bw, zz[bi], pred, 0, 0, dc_codes, ac_codes)
+    bw.flush()
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    zzq = qt.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + zzq
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for cls, tid, bits, vals in (
+        (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+        (1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
+    ):
+        body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bw.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -365,15 +492,47 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _read_block(br: _BitReader, pred: list[int], slot: int,
+                dtree: dict, atree: dict) -> np.ndarray:
+    """Entropy-decode one block -> natural-order 8x8 int32 coefficients."""
+    zz = np.zeros(64, dtype=np.int32)
+    size = _read_symbol(br, dtree)
+    diff = _extend(br.read_bits(size), size)
+    pred[slot] += diff
+    zz[0] = pred[slot]
+    k = 1
+    while k < 64:
+        rs = _read_symbol(br, atree)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC run overflow")
+        zz[k] = _extend(br.read_bits(size), size)
+        k += 1
+    nat = np.zeros(64, dtype=np.int32)
+    nat[ZIGZAG] = zz
+    return nat.reshape(8, 8)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline sequential 4:4:4 JFIF bytes -> HxWx3 uint8 RGB."""
+    """Baseline sequential JFIF bytes -> HxWx3 uint8 RGB.
+
+    Sampling factors 1-2 per axis per component (4:4:4 / 4:2:0 / 4:2:2 /
+    4:4:0) and single-component grayscale frames; chroma upsampled by the
+    triangular filter. Planes are assigned by SOF component id (JFIF order
+    Y, Cb, Cr), looked up from the scan's cid — NOT by scan position."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htrees: dict[tuple[int, int], dict] = {}
     h = w = None
-    comp_spec: list[tuple[int, int]] = []  # (component id, quant table id)
+    comp_spec: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq) SOF order
     scan_spec: list[tuple[int, int, int]] = []  # (cid, dc table, ac table)
     entropy_start = None
     while pos < len(data):
@@ -407,15 +566,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 sp += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
-            if prec != 8 or nc != 3:
-                raise NotImplementedError("baseline 8-bit 3-component only")
+            if prec != 8 or nc not in (1, 3):
+                raise NotImplementedError("baseline 8-bit 1- or 3-component only")
             for i in range(nc):
                 cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "subsampled JPEG unsupported (4:4:4 baseline only)"
+                        f"sampling factor {hi}x{vi} unsupported (1-2 per axis)"
                     )
-                comp_spec.append((cid, tq))
+                comp_spec.append((cid, hi, vi, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("only baseline sequential (SOF0) supported")
         elif marker == 0xDD:
@@ -430,45 +590,67 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         pos += seglen
     if entropy_start is None or h is None:
         raise ValueError("no scan found")
+    if len(scan_spec) != len(comp_spec):
+        raise NotImplementedError("multi-scan (non-interleaved) streams unsupported")
     # find EOI (0xFFD9) scanning past stuffed bytes
     end = len(data) - 2
     while end > entropy_start and data[end : end + 2] != b"\xff\xd9":
         end -= 1
     br = _BitReader(data[entropy_start:end])
 
-    nby, nbx = (h + 7) // 8, (w + 7) // 8
-    comps = np.zeros((3, nby, nbx, 8, 8), dtype=np.float64)
-    pred = [0, 0, 0]
-    qt_by_cid = dict(comp_spec)
-    for by in range(nby):
-        for bx in range(nbx):
-            for ci, (cid, dct, act) in enumerate(scan_spec):
+    # plane slot by SOF component id (ADVICE: a conformant stream may list
+    # scan components in any order — indexing planes by scan position would
+    # silently swap channels)
+    slot_by_cid = {cid: i for i, (cid, _, _, _) in enumerate(comp_spec)}
+    spec_by_cid = {cid: (hi, vi, tq) for cid, hi, vi, tq in comp_spec}
+    for cid, _, _ in scan_spec:
+        if cid not in slot_by_cid:
+            raise ValueError(f"scan references unknown component id {cid}")
+    hmax = max(hi for _, hi, _, _ in comp_spec)
+    vmax = max(vi for _, _, vi, _ in comp_spec)
+    if len(comp_spec) == 1:
+        hmax = vmax = 1  # single-component scans are never MCU-interleaved
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # per-component dequantized coefficient block grids (T.81 A.1.1: comp i
+    # spans ceil(w*hi/hmax) x ceil(h*vi/vmax) samples, padded to whole MCUs)
+    grids: dict[int, np.ndarray] = {}
+    for cid, hi, vi, tq in comp_spec:
+        if len(comp_spec) == 1:
+            hi = vi = 1
+        grids[cid] = np.zeros((mcuy * vi, mcux * hi, 8, 8), dtype=np.float64)
+    pred = [0] * len(comp_spec)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, dct, act in scan_spec:
+                hi, vi, tq = spec_by_cid[cid]
+                if len(comp_spec) == 1:
+                    hi = vi = 1
                 dtree, atree = htrees[(0, dct)], htrees[(1, act)]
-                zz = np.zeros(64, dtype=np.int32)
-                size = _read_symbol(br, dtree)
-                diff = _extend(br.read_bits(size), size)
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = _read_symbol(br, atree)
-                    run, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if run == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run overflow")
-                    zz[k] = _extend(br.read_bits(size), size)
-                    k += 1
-                nat = np.zeros(64, dtype=np.int32)
-                nat[ZIGZAG] = zz
-                comps[ci, by, bx] = nat.reshape(8, 8) * qtabs[qt_by_cid[cid]]
+                qt = qtabs[tq]
+                slot = slot_by_cid[cid]
+                for v in range(vi):
+                    for u in range(hi):
+                        blk = _read_block(br, pred, slot, dtree, atree)
+                        grids[cid][my * vi + v, mx * hi + u] = blk * qt
     planes = []
-    for ci in range(3):
-        px = _idct_blocks(comps[ci]) + 128.0
+    for cid, hi, vi, tq in comp_spec:
+        if len(comp_spec) == 1:
+            hi = vi = 1
+        px = _idct_blocks(grids[cid]) + 128.0
+        nby, nbx = grids[cid].shape[:2]
         full = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
-        planes.append(full[:h, :w])
+        # crop to the component's own sample grid, then replicate up to full
+        # resolution (nearest-neighbor chroma upsample)
+        ch = -(-h * vi // vmax)
+        cw = -(-w * hi // hmax)
+        comp = full[:ch, :cw]
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1 or rx > 1:
+            comp = _triangle_upsample2(comp, ry, rx)
+        planes.append(comp[:h, :w])
+    if len(planes) == 1:  # grayscale: Y replicated to RGB
+        y = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
     return ycbcr_to_rgb(np.stack(planes, axis=-1))

@@ -78,8 +78,15 @@ def idf_table(postings: DataFrame, n_docs: int | None = None, doc_col: str = "do
     """I11: idf = ln(N / df + 1), df = COUNT(DISTINCT doc) per word."""
     if n_docs is None:
         n_docs = postings.select(doc_col).distinct().count()
-    return (
-        postings.groupBy("word")
-        .agg(F.countDistinct(doc_col).alias("df"))
-        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df") + F.lit(1.0)))
+    return idf_from_df(
+        postings.groupBy("word").agg(F.countDistinct(doc_col).alias("df")), n_docs
+    )
+
+
+def idf_from_df(word_df: DataFrame, n_docs: int) -> DataFrame:
+    """I11 from a maintained (word, df) table — the incremental-index path
+    skips re-aggregating all postings (DatabaseHelper.java:544-567 semantics,
+    same ln(N/df+1) formula)."""
+    return word_df.withColumn(
+        "idf", F.log(F.lit(float(n_docs)) / F.col("df") + F.lit(1.0))
     )

@@ -8,7 +8,9 @@ feature extraction, video frame sampling.
 Real vs stubbed (this container has no image/audio libraries):
   * png / raw containers: REAL decode/encode (crawler/imaging.py)
   * jpeg: REAL baseline decode/encode — pure-numpy T.81 codec
-    (functions/jpegcodec.py), covering the format real crawls actually see
+    (functions/jpegcodec.py); decode covers the sampling layouts real
+    crawls see (4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 + grayscale), encode writes
+    4:4:4 or 4:2:0; progressive (SOF2) stays explicitly rejected
   * fake video container 'vid0' (concatenated raw frames): REAL plumbing,
     deterministic content — stands in for mp4 until a codec lib exists
   * webp/mp3/mp4: dispatch exists, decode raises NotImplementedError

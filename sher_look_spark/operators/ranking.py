@@ -6,8 +6,16 @@ Numeric goldens ported from RankerTests.java (TF-IDF ±0.001, PageRank graphs).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# pagerank() tunes session-global conf (shuffle partitions, AQE) around its
+# loop with save/restore. The serve tier shares one SparkSession across HTTP
+# threads, so two concurrent cold-path pageranks could interleave
+# save/mutate/restore and clobber the session settings — serialize them.
+_PAGERANK_CONF_LOCK = threading.Lock()
 
 SECTION_WEIGHTS = {"title": 2.0, "header": 1.5, "body": 1.0}  # Ranker.java:22-23
 DAMPING = 0.85          # Ranker.java:24
@@ -79,6 +87,15 @@ def pagerank(
     CTE chain in queries.sql_q8 — and all ``max_iter`` steps compile into a
     handful of jobs (one per lineage checkpoint) instead of one per
     iteration.
+
+    ``tol > 0`` (the reference's real mode, tol=1e-5 / <=100 iters,
+    Ranker.java:24-26) ALSO avoids a driver action per iteration: dangling
+    mass folds into each step's plan the same broadcast-agg way, per-step
+    max-diffs are 1-row aggregates unioned and collected ONCE per
+    ``checkpoint_every`` stride, and on convergence the exact reference
+    output — the iterate that ENTERED the first step whose diff < tol, the
+    previous-iterate quirk — is returned from the stride's persisted chain.
+    Driver actions: ~2 per stride instead of 1+ per iteration.
     """
     edges = edges.persist()  # read once; every iteration joins against it
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("out_degree"))
@@ -106,23 +123,25 @@ def pagerank(
     # session-wide (session.py) but static sizing also covers plan reuse.
     sp_key = "spark.sql.shuffle.partitions"
     aqe_key = "spark.sql.adaptive.enabled"
-    sp_old = spark.conf.get(sp_key)
-    aqe_old = spark.conf.get(aqe_key)
-    loop_parts = max(1, min(int(sp_old), n // 65_536 + 1))
-    spark.conf.set(sp_key, str(loop_parts))
-    if loop_parts == 1:
-        # single-partition iterates: AQE has nothing to coalesce or re-plan,
-        # but it would still submit one job per stage materialization
-        # (~8 jobs/iteration measured) — pure scheduling overhead here.
-        spark.conf.set(aqe_key, "false")
-    try:
-        return _pagerank_loop(
-            spark, verts, edges, prev, n, base, damping, dangling_mass,
-            tol, max_iter, checkpoint_every, fixed,
-        )
-    finally:
-        spark.conf.set(sp_key, sp_old)
-        spark.conf.set(aqe_key, aqe_old)
+    with _PAGERANK_CONF_LOCK:
+        sp_old = spark.conf.get(sp_key)
+        aqe_old = spark.conf.get(aqe_key)
+        loop_parts = max(1, min(int(sp_old), n // 65_536 + 1))
+        spark.conf.set(sp_key, str(loop_parts))
+        if loop_parts == 1:
+            # single-partition iterates: AQE has nothing to coalesce or
+            # re-plan, but it would still submit one job per stage
+            # materialization (~8 jobs/iteration measured) — pure
+            # scheduling overhead here.
+            spark.conf.set(aqe_key, "false")
+        try:
+            return _pagerank_loop(
+                spark, verts, edges, prev, n, base, damping, dangling_mass,
+                tol, max_iter, checkpoint_every, fixed,
+            )
+        finally:
+            spark.conf.set(sp_key, sp_old)
+            spark.conf.set(aqe_key, aqe_old)
 
 
 def _pagerank_loop(
@@ -178,43 +197,72 @@ def _pagerank_loop(
         edges.unpersist()
         return result
 
-    for i in range(max_iter):
-        cur = (
-            verts.join(_contribs(prev), "id", "left")
-            .select(
-                "id",
-                "out_degree",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(dangling_mass / n))
-                ).alias("rank"),
+    # Convergence mode, stride-batched: build `checkpoint_every` iterates as
+    # a persisted chain (dangling folded into each step's plan as a
+    # broadcast 1-row agg — same shape as fixed mode), then ONE collect of
+    # the unioned per-step max-diff aggregates decides whether any step in
+    # the stride converged. The reference breaks BEFORE the swap
+    # (Ranker.java:178), returning the iterate that entered the converged
+    # step — that iterate is still persisted in the chain, so batching the
+    # check changes the action count, not the output.
+    from functools import reduce
+
+    stride = max(1, checkpoint_every)
+    it_done = 0
+    while it_done < max_iter:
+        k = min(stride, max_iter - it_done)
+        iterates = [prev]
+        diffs = []
+        for s in range(1, k + 1):
+            p = iterates[-1]
+            dang = p.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("out_degree") == 0, F.col("rank"))), F.lit(0.0)
+                ).alias("_dm")
             )
-        )
-        if (i + 1) % checkpoint_every == 0:
-            cur = cur.localCheckpoint(eager=True)
-        else:
-            cur = cur.persist()
-        # ONE driver action per iteration: the convergence max-diff and the
-        # NEXT iteration's dangling mass come out of the same aggregation
-        # (the old separate dangling job doubled the driver round-trips).
-        istats = (
-            cur.alias("c")
-            .join(prev.alias("p"), "id")
-            .agg(
-                F.max(F.abs(F.col("c.rank") - F.col("p.rank"))).alias("max_diff"),
-                F.sum(F.when(F.col("c.out_degree") == 0, F.col("c.rank"))).alias("dangling"),
+            cur = (
+                verts.join(_contribs(p), "id", "left")
+                .crossJoin(F.broadcast(dang))
+                .select(
+                    "id",
+                    "out_degree",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.col("_dm") / n)
+                    ).alias("rank"),
+                )
+                .persist()
             )
-            .collect()[0]
+            iterates.append(cur)
+            diffs.append(
+                cur.alias("c")
+                .join(p.alias("p"), "id")
+                .agg(
+                    F.lit(s).alias("step"),
+                    F.max(F.abs(F.col("c.rank") - F.col("p.rank"))).alias("max_diff"),
+                )
+            )
+        # materialize the chain tip first (one job computes every persisted
+        # iterate), then the diff collect reads only cached data
+        tip = iterates[-1].localCheckpoint(eager=True)
+        stats = sorted(
+            reduce(DataFrame.unionByName, diffs).collect(), key=lambda r: r.step
         )
-        if istats.max_diff is not None and istats.max_diff < tol:
-            # reference returns pageRankPrevious on convergence (break before swap)
-            cur.unpersist()
+        conv = next(
+            (r.step for r in stats if r.max_diff is not None and r.max_diff < tol),
+            None,
+        )
+        if conv is not None:
+            out = iterates[conv - 1].localCheckpoint(eager=True)
+            for h in iterates:
+                h.unpersist()
+            prev = out
             break
-        dangling_mass = istats.dangling or 0.0
-        old = prev
-        prev = cur
-        old.unpersist()
+        for h in iterates:
+            h.unpersist()
+        prev = tip
+        it_done += k
     result = prev.select("id", "rank")
     verts.unpersist()
     edges.unpersist()

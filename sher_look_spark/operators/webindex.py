@@ -129,27 +129,55 @@ def index_incremental(spark: SparkSession, store: SnapshotStore) -> dict[str, in
     snap = store.latest()
     wave = (snap.state.get("index_runs", 0) if snap else 0) + 1
     state = dict(snap.state) if snap else {}
-    n_docs_total = state.get("indexed_docs_total", 0) + n
+    prev_total = state.get("indexed_docs_total")
+    if prev_total is None:
+        # legacy-store resume (index_runs present, indexed_docs_total absent):
+        # counting only the new docs would make N span the delta while df
+        # spans the combined postings — silently wrong idf for every word.
+        # Count the existing documents_meta rows instead (one cheap job,
+        # only on this migration path).
+        prev_total = meta.count() if meta is not None else 0
+    n_docs_total = prev_total + n
     appends = {
         "postings": [store.stage_write(idx["postings"], "postings", wave)],
         "documents_meta": [store.stage_write(new_meta, "documents_meta", wave)],
     }
-    # IDF is corpus-global (N over df), so every index run recomputes it over
-    # the COMBINED postings and REPLACES the small idf table — the reference
-    # runs calculateIDF over the whole index after each run
-    # (Indexer.java:195, DatabaseHelper.java:544-567). The serve tier then
-    # reads it prebuilt instead of re-deriving it per query.
-    from sher_look_spark.operators.indexer import idf_table
+    # IDF is corpus-global (N over df) and the reference recomputes it over
+    # the whole index after each run (Indexer.java:195,
+    # DatabaseHelper.java:544-567). Re-aggregating ALL postings per run does
+    # not scale with index size, so per-word df is maintained incrementally
+    # in the small `word_df` table: newly indexed docs are disjoint from
+    # previously indexed ones (the index_time IS NULL predicate), so their
+    # df contributions ADD. A legacy store (postings present, word_df
+    # absent) pays one full aggregation to migrate. idf = ln(N/df+1) is then
+    # derived from word_df alone and REPLACES the idf table; the serve tier
+    # reads it prebuilt.
+    from sher_look_spark.operators.indexer import idf_from_df
 
-    old_postings = store.read(spark, "postings")
-    full_postings = (
-        idx["postings"] if old_postings is None
-        else old_postings.unionByName(idx["postings"])
+    delta_df = idx["postings"].groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df")
     )
-    replaces = {"idf": [store.stage_write(idf_table(full_postings, n_docs_total), "idf", wave)]}
+    old_df = store.read(spark, "word_df")
+    if old_df is None:
+        old_postings = store.read(spark, "postings")
+        if old_postings is not None:
+            old_df = old_postings.groupBy("word").agg(
+                F.countDistinct("doc_id").alias("df")
+            )
+    word_df = (
+        delta_df if old_df is None
+        else old_df.unionByName(delta_df)
+        .groupBy("word")
+        .agg(F.sum("df").cast("long").alias("df"))
+    ).persist()
+    replaces = {
+        "word_df": [store.stage_write(word_df, "word_df", wave)],
+        "idf": [store.stage_write(idf_from_df(word_df, n_docs_total), "idf", wave)],
+    }
     state["index_runs"] = wave
     state["indexed_docs_total"] = n_docs_total
     store.commit(appends=appends, replaces=replaces, state=state)
+    word_df.unpersist()
     todo.unpersist()
     return {"indexed": n}
 
@@ -204,6 +232,8 @@ def pagerank_from_links(spark: SparkSession, store: SnapshotStore) -> DataFrame:
 
     images = store.read(spark, "images")
     links = store.read(spark, "links")
+    if images is None:  # no crawl state: empty graph, empty ranks
+        return spark.createDataFrame([], "id long, rank double")
     verts = images.select(uh("url").alias("id")).distinct()
     if links is None:
         return pagerank(spark, verts, spark.createDataFrame([], "src long, dst long"))
@@ -240,7 +270,14 @@ def search_pages(
             F.col("doc_id").alias("id"), F.col("page_rank").alias("rank")
         ).filter(F.col("rank").isNotNull())
     else:  # cold fallback: no prebuilt index in the snapshot store
-        idx = index_pages(store.read(spark, "pages"))
+        pages = store.read(spark, "pages")
+        if pages is None:
+            # no crawl state at all — empty result page, not an AttributeError
+            # (the HTTP tier maps this to 200-with-empty, never a 500)
+            return spark.createDataFrame(
+                [], "url string, title string, final_score double, snippet string"
+            )
+        idx = index_pages(pages)
         postings, meta = idx["postings"], idx["documents_meta"]
         sizes, idf = idx["doc_sizes"], idx["idf"]
         pr = pagerank_from_links(spark, store)

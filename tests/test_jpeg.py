@@ -116,3 +116,98 @@ def test_crawl_carries_jpeg_payloads_with_fidelity(spark, tmp_path):
         else:
             assert np.array_equal(got, ideal)
     assert n_jpeg >= 5
+
+
+@pytest.mark.parametrize("shape", [(37, 53), (64, 48), (33, 32), (128, 96)])
+def test_420_roundtrip_psnr_above_40(shape):
+    """The real-web 4:2:0 layout: MCU-interleaved encode, box-downsampled
+    chroma, triangular upsample on decode — >= 40 dB on web-photo-like
+    content at web-realistic sizes (>= 32 px; tinier images are kept 4:4:4
+    by the synth encoder because 2x2 chroma decimation of a two-block image
+    cannot hold the bar)."""
+    arr = _smooth(*shape)
+    dec = decode_jpeg(encode_jpeg(arr, 93, subsampling="420"))
+    assert dec.shape == arr.shape
+    assert psnr(arr, dec) >= 40.0, shape
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (15, 9), (21, 19), (37, 53)])
+def test_420_odd_sizes_roundtrip(shape):
+    """Odd/non-MCU-multiple sizes: padding + crop must reproduce exact
+    dimensions and stay visually close (>= 30 dB even at tiny sizes)."""
+    arr = _smooth(*shape, seed=11)
+    dec = decode_jpeg(encode_jpeg(arr, 93, subsampling="420"))
+    assert dec.shape == arr.shape
+    assert psnr(arr, dec) >= 30.0, shape
+
+
+def test_420_constant_color_matches_444_exactly():
+    """Constant planes are exact under box-downsample + triangular upsample,
+    so 4:2:0 and 4:4:4 decode to the identical DC-only closed form — the
+    property the mm_jpeg_roundtrip oracle relies on."""
+    for color in ((200, 30, 90), (5, 250, 128), (77, 200, 13)):
+        arr = np.zeros((13, 21, 3), np.uint8)
+        arr[...] = color
+        d444 = decode_jpeg(encode_jpeg(arr, 90, subsampling="444"))
+        d420 = decode_jpeg(encode_jpeg(arr, 90, subsampling="420"))
+        assert np.array_equal(d444, d420), color
+        assert len({tuple(p) for p in d420.reshape(-1, 3)}) == 1
+
+
+def test_scan_order_maps_planes_by_component_id():
+    """ADVICE: a conformant stream whose SOS lists components in a
+    non-(1,2,3) order must decode with correct channels (planes assigned by
+    SOF component id, not scan position)."""
+    arr = _smooth(24, 17, seed=5)
+    want = decode_jpeg(encode_jpeg(arr, 90))
+    for order in ((3, 1, 2), (2, 3, 1), (3, 2, 1)):
+        got = decode_jpeg(encode_jpeg(arr, 90, scan_order=order))
+        assert np.array_equal(got, want), order
+        got420 = decode_jpeg(encode_jpeg(arr, 90, subsampling="420", scan_order=order))
+        want420 = decode_jpeg(encode_jpeg(arr, 90, subsampling="420"))
+        assert np.array_equal(got420, want420), order
+
+
+def test_grayscale_single_component_decode():
+    """Single-component (grayscale) frames — also on the real web — decode
+    through the non-interleaved path to replicated-RGB."""
+    from sher_look_spark.functions.jpegcodec import encode_jpeg_gray
+
+    g = _smooth(25, 34, seed=8)[..., 0]
+    dec = decode_jpeg(encode_jpeg_gray(g, 93))
+    assert dec.shape == (25, 34, 3)
+    assert np.array_equal(dec[..., 0], dec[..., 1])
+    assert np.array_equal(dec[..., 0], dec[..., 2])
+    g3 = np.stack([g, g, g], axis=-1)
+    assert psnr(g3, dec) >= 40.0
+
+
+def test_progressive_still_rejected():
+    """Progressive (SOF2) remains an explicit, clearly-reported boundary."""
+    arr = _smooth(16, 16)
+    data = bytearray(encode_jpeg(arr, 90))
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # flip SOF0 -> SOF2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(data))
+
+
+def test_synth_web_serves_420_for_web_sized_images():
+    """The synthetic web's JPEG payloads carry the real-web 4:2:0 layout for
+    >= 32 px images (SOF sampling byte 0x22), 4:4:4 below."""
+    from sher_look_spark.crawler import synth
+
+    web = synth.SynthWebConfig(
+        n_hosts=2, pages_per_host=6, seed=13, jpeg_every=1, img_min=64, img_max=96
+    )
+    data, w, h, fmt, _, _ = synth.page_image(web, 0, 0)
+    assert fmt == "jpeg"
+    i = data.find(b"\xff\xc0")
+    samp_y = data[i + 11]  # SOF0: len(2) prec(1) h(2) w(2) nc(1) cid(1) samp
+    assert samp_y == 0x22, hex(samp_y)
+    web_small = synth.SynthWebConfig(
+        n_hosts=2, pages_per_host=6, seed=13, jpeg_every=1, img_min=12, img_max=20
+    )
+    data2, *_ = synth.page_image(web_small, 0, 0)
+    i2 = data2.find(b"\xff\xc0")
+    assert data2[i2 + 11] == 0x11

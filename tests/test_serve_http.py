@@ -70,3 +70,25 @@ def test_search_endpoint_end_to_end(spark, tmp_path, monkeypatch):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_search_endpoint_empty_state_is_200_empty(spark, tmp_path):
+    """No crawl state behind the server: GET /search answers 200 with an
+    empty result list (VERDICT: was an AttributeError -> HTTP 500)."""
+    from serve_http import make_handler
+
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(spark, str(tmp_path / "empty-state"))
+    )
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.loads(
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/search?query=anything", timeout=120
+            ).read()
+        )
+        assert body["results"] == []
+    finally:
+        server.shutdown()

@@ -84,3 +84,13 @@ def test_crawl_index_search_end_to_end(spark, tmp_path):
     # phrase mode end-to-end
     res2 = search_pages(spark, state, '"synthetic page"', per_page=5).collect()
     assert len(res2) > 0
+
+
+def test_search_pages_empty_state_dir_returns_empty(spark, tmp_path):
+    """VERDICT 'what's wrong' #1: serving against a state dir with no crawl
+    state must yield an empty result page, not an AttributeError on None."""
+    from sher_look_spark.operators.webindex import search_pages
+
+    out = search_pages(spark, str(tmp_path / "nothing"), "anything at all")
+    assert out.columns == ["url", "title", "final_score", "snippet"]
+    assert out.count() == 0
