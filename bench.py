@@ -214,8 +214,12 @@ def run_scaling(
                 spark, committed_target, img_min=img_min, img_max=img_max,
                 jpeg_every=jpeg_every,
             )
+            # read the subtree CPU while the JVM + worker pool are still
+            # alive: after spark.stop() the whole subtree is reaped by init
+            # and its CPU time is unobservable from here
+            cpu1 = _tree_cpu_secs()
             spark.stop()
-            out["cpu_secs"] = round(_tree_cpu_secs() - cpu0, 1)
+            out["cpu_secs"] = round(cpu1 - cpu0, 1)
             out["delivered_parallelism"] = round(out["cpu_secs"] / out["secs"], 2)
             results[cpus].append(out)
             print(f"  local[{cpus}] run {r}: {out}", file=sys.stderr)
@@ -279,8 +283,12 @@ if __name__ == "__main__":
         # cost is network+decode, never 2 ms). The light protocol measures
         # the same engine at ~1.4 CPU-ms/URL, where wall time is pure
         # critical-path latency and no core count can help (Amdahl).
+        # 100k pages x ~70 CPU-ms/URL (4:2:0 encode+decode at 128-224 px)
+        # ~= 7200 CPU-s of payload compute: the per-wave serial constant
+        # (~10-30 s across 5 waves) is <5% of the 8-core wall, so the ratio
+        # measures the engine, not the orchestration floor.
         print(json.dumps(run_scaling(
-            committed_target=50000, jpeg_every=1, img_min=128, img_max=224
+            committed_target=100000, jpeg_every=1, img_min=128, img_max=224
         )))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))

@@ -99,7 +99,12 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         from sher_look_spark.functions.jpegcodec import decode_jpeg
 
         return decode_jpeg(bytes(data))
-    # webp would need a VP8 decoder; still stubbed.
+    if fmt == "webp":
+        # lossless WebP (VP8L, RFC 9649) via functions/webpcodec.py; lossy
+        # VP8 streams raise NotImplementedError inside the codec
+        from sher_look_spark.functions.webpcodec import decode_webp
+
+        return decode_webp(bytes(data))
     raise NotImplementedError(f"unsupported payload format: {fmt}")
 
 

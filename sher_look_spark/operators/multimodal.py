@@ -11,9 +11,13 @@ Real vs stubbed (this container has no image/audio libraries):
     (functions/jpegcodec.py); decode covers the sampling layouts real
     crawls see (4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 + grayscale), encode writes
     4:4:4 or 4:2:0; progressive (SOF2) stays explicitly rejected
+  * webp: REAL lossless (VP8L, RFC 9649) decode/encode —
+    functions/webpcodec.py (transforms, meta prefix codes, color cache,
+    LZ77); lossy VP8 streams stay explicitly rejected (a video intra-frame
+    codec is out of scope)
   * fake video container 'vid0' (concatenated raw frames): REAL plumbing,
     deterministic content — stands in for mp4 until a codec lib exists
-  * webp/mp3/mp4: dispatch exists, decode raises NotImplementedError
+  * mp3/mp4: dispatch exists, decode raises NotImplementedError
     (clearly-marked stub; schema, partitioning, UDF signature and batch
     shape are the real thing)
 """
@@ -57,9 +61,9 @@ def decode_vid0(data: bytes) -> list[np.ndarray]:
 
 
 def _decode_any(data: bytes, fmt: str) -> np.ndarray:
-    if fmt in ("png", "raw", "jpeg", "jpg"):
+    if fmt in ("png", "raw", "jpeg", "jpg", "webp"):
         return decode_image(bytes(data), fmt)
-    # STUB: webp/mp3/mp4 codecs unavailable in this container
+    # STUB: mp3/mp4 codecs unavailable in this container
     raise NotImplementedError(f"decode for fmt={fmt!r} requires a codec library")
 
 

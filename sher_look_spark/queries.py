@@ -501,9 +501,12 @@ FROM events GROUP BY 1, 2, 3
 # ----------------------------------------------------------------- multimodal
 
 def _synth_raw_images(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic constant-color RAW images derived from doc_ids — the
-    binary-column input for the multimodal operators (decode is REAL for the
-    raw container; constant pixels make means/std SQL-predictable)."""
+    """Deterministic constant-color images derived from doc_ids — the
+    binary-column input for the multimodal operators. doc_id % 3 == 2 rows
+    carry LOSSLESS WebP (VP8L) bytes through the real decoder
+    (functions/webpcodec.py), the rest the raw container; both decode
+    exactly, so the same SQL oracle covers the whole mix and the webp path
+    is value-certified end-to-end (mm_image_features / mm_resize_roundtrip)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(T.BinaryType())
@@ -511,6 +514,7 @@ def _synth_raw_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         from sher_look_spark.crawler.imaging import encode_raw
+        from sher_look_spark.functions.webpcodec import encode_webp_lossless
 
         out = []
         for d in ids:
@@ -519,14 +523,18 @@ def _synth_raw_images(spark: SparkSession, sf_dir: str) -> DataFrame:
             arr[:, :, 0] = d % 256
             arr[:, :, 1] = (2 * d) % 256
             arr[:, :, 2] = (3 * d) % 256
-            out.append(encode_raw(arr))
+            out.append(
+                encode_webp_lossless(arr) if d % 3 == 2 else encode_raw(arr)
+            )
         return pd.Series(out)
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return docs.select(
         F.col("doc_id").cast("string").alias("image_id"),
         mk("doc_id").alias("bytes"),
-        F.lit("raw").alias("fmt"),
+        F.when(F.col("doc_id") % 3 == 2, F.lit("webp"))
+        .otherwise(F.lit("raw"))
+        .alias("fmt"),
     )
 
 
