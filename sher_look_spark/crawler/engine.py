@@ -31,6 +31,7 @@ Scale notes (10^10-URL frontier, 1000 executors):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -82,7 +83,18 @@ class CrawlConfig:
     # Overflow candidates are DEFERRED to the next wave, never dropped.
     crawl_delay_s: float | None = None
     wave_budget_s: float = 60.0
-    fetch_partitions: int | None = None   # salt width for the fetch stage
+    fetch_partitions: int | None = None   # explicit override for the fetch stage
+    # Fetch tasks are sized by DATA VOLUME (rows per task), not core count —
+    # the same rule file-scan splits follow (maxPartitionBytes): a payload
+    # fetch's cost is per-row, so fixed-size tasks keep the stage's tail
+    # short at ANY cluster size, where a cores-multiple partitioning leaves
+    # the biggest tasks ~3x the smallest (128-224 px payload spread) and the
+    # stage idles on the tail. Isolated-stage probes measured 505->672
+    # rows/s at 32 cores going from 3x-cores to 100-row tasks; full-crawl
+    # runs are VM-noise-dominated between 100 and 1000, so 400 balances
+    # tail smoothing against per-task and per-file overhead on the write
+    # stages downstream of the persisted fetch.
+    fetch_rows_per_task: int = 400
     store_html: bool = True               # keep page HTML (enables the index tier)
     # Salted-partition bloom front for the URL-seen check (functions/bloom.py).
     # With the bloom on, the `seen` table is scanned but NEVER shuffled: the
@@ -153,7 +165,7 @@ def _make_fetch_mapper(web: synth.SynthWebConfig):
     is where HTTP + image decode happens, batched per partition.
     """
 
-    CHUNK = 512  # keep output pandas frames ~10-20 MB even with KB-scale payloads
+    CHUNK = int(os.environ.get("SPARK_GRAFT_FETCH_CHUNK", "512"))  # output pandas frame rows
 
     def mapper(batches):
         for big in batches:
@@ -454,12 +466,18 @@ class CrawlEngine:
         Slot numbers are identical to the plain window's (host_slot = 1-based
         position within host in rank order)."""
         nparts = max(self.spark.sparkContext.defaultParallelism, 2)
+        # Eager lineage cut first: the two-pass machinery references its
+        # input TWICE (counts + final join), and the wave plan above it —
+        # canonicalize, first-rank-wins, bloom cogroup — is deep; without
+        # the cut the downstream plan TREE doubles here and Spark's plan
+        # stringification alone can OOM the driver on a long politeness
+        # crawl. One extra pass over winners, amortized by the >1M-row
+        # waves that select this path.
         sdf = (
             winners.repartitionByRange(nparts, "host", "rank")
             .withColumn("_pid", F.spark_partition_id())
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        self._wave_handles.append(sdf)
         counts = sdf.groupBy("_pid", "host").agg(F.count(F.lit(1)).alias("_n"))
         w_off = (
             Window.partitionBy("host")
@@ -720,10 +738,11 @@ class CrawlEngine:
         # partitions): hashing pmod(rank, nparts) — n salt VALUES into n
         # hash buckets — leaves ~1/e of the fetch partitions EMPTY by
         # birthday collision (measured: 4-5 busy of 8 at local[8]), i.e.
-        # the fetch stage ran on ~2/3 of the cluster. 3x partitions per
-        # core lets the scheduler smooth the per-task payload-size spread.
-        nparts = self.cfg.fetch_partitions or (
-            3 * self.spark.sparkContext.defaultParallelism
+        # the fetch stage ran on ~2/3 of the cluster. Task count follows
+        # DATA size (fetch_rows_per_task), floored at the cluster width.
+        nparts = self.cfg.fetch_partitions or max(
+            self.spark.sparkContext.defaultParallelism,
+            -(-n_wave // self.cfg.fetch_rows_per_task),
         )
         fetch_in = allowed.withColumnRenamed("norm", "url").repartition(
             nparts, F.col("rank")

@@ -51,9 +51,23 @@ def test_decode_image_dispatch_and_stub():
         raise AssertionError("expected ValueError for malformed jpeg")
     except ValueError:
         pass
+    # webp now routes to the real VP8L decoder (functions/webpcodec.py):
+    # lossless round-trips; a headerless RIFF is a clean ValueError; a LOSSY
+    # VP8 chunk remains an explicit NotImplementedError
+    import struct
+
+    from sher_look_spark.functions.webpcodec import encode_webp_lossless
+
+    assert np.array_equal(decode_image(encode_webp_lossless(arr), "webp"), arr)
     try:
         decode_image(b"RIFF....WEBP", "webp")
-        raise AssertionError("expected NotImplementedError for webp")
+        raise AssertionError("expected ValueError for chunkless webp")
+    except ValueError:
+        pass
+    lossy = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + struct.pack("<I", 0)
+    try:
+        decode_image(lossy, "webp")
+        raise AssertionError("expected NotImplementedError for lossy VP8")
     except NotImplementedError:
         pass
 
