@@ -58,6 +58,41 @@ def _spark(cpus: int, app: str):
     return get_spark(app, master=f"local[{cpus}]", shuffle_partitions=max(2 * cpus, 8))
 
 
+def _busy_cores(sample_secs: float = 3.0) -> float:
+    """Cores currently busy VM-wide, from two /proc/stat samples. While WE
+    are idle (between legs, previous JVM stopped) any busy core is external
+    contention — unlike the 1-min load average, this has no decay tail from
+    our own just-finished run."""
+    def snap():
+        with open("/proc/stat") as fh:
+            f = fh.readline().split()[1:]
+        vals = list(map(int, f))
+        idle = vals[3] + vals[4]  # idle + iowait
+        return sum(vals), idle
+
+    t0, i0 = snap()
+    time.sleep(sample_secs)
+    t1, i1 = snap()
+    dt = max(t1 - t0, 1)
+    return os.cpu_count() * (1.0 - (i1 - i0) / dt)
+
+
+def _wait_quiet(max_load: float = 2.0, timeout: float = 600.0) -> float:
+    """Block until fewer than ``max_load`` cores are busy VM-wide (we are
+    idle while polling, so busy cores are external work), or ``timeout``
+    elapses. Returns the busy-core count at release. The sandbox VM shares a
+    host: identical runs differ 2-5x between windows, so every official
+    number records the window it ran in and scaling legs only launch in
+    quiet ones."""
+    t0 = time.time()
+    busy = _busy_cores()
+    while busy > max_load and time.time() - t0 < timeout:
+        print(f"  [quiet-gate] {busy:.1f} cores busy > {max_load}, waiting...", file=sys.stderr)
+        time.sleep(12)
+        busy = _busy_cores()
+    return busy
+
+
 def run_queries() -> dict:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,6 +115,16 @@ def run_queries() -> dict:
     spark.range(100_000).select(F.sum(_warm("id"))).collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Bench-context forensics (round-4 lesson: a contended host window
+    # inflated every query ~2x uniformly and masqueraded as a regression —
+    # the same engine re-ran at r3 parity minutes later). cpu/wall across
+    # the suite + the load average bracket let a reader discount noisy runs:
+    # delivered_parallelism far below requested cores with load high at
+    # start means the WINDOW was bad, not the code.
+    load_start = os.getloadavg()[0]
+    cpu0 = _tree_cpu_secs()
+    wall0 = time.time()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -89,7 +134,18 @@ def run_queries() -> dict:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    suite_wall = time.time() - wall0
+    suite_cpu = _tree_cpu_secs() - cpu0
     crawl = crawl_throughput(spark, committed_target=20000)
+    forensics = {
+        "suite_cpu_secs": round(suite_cpu, 1),
+        "suite_wall_secs": round(suite_wall, 1),
+        "delivered_parallelism": round(suite_cpu / suite_wall, 2),
+        "requested_cores": cpus,
+        "load_avg_start": round(load_start, 2),
+        "load_avg_end": round(os.getloadavg()[0], 2),
+    }
     spark.stop()
     sf = 0.1 if "0.1" in sf_dir else sf_dir
     return {
@@ -99,6 +155,7 @@ def run_queries() -> dict:
         "queries": timings,
         "sf": sf,
         "crawl": crawl,
+        "cpu_forensics": forensics,
     }
 
 
@@ -205,9 +262,15 @@ def run_scaling(
     identical work must burn ~identical CPU at both levels, and cpu/wall is
     the parallelism the host actually DELIVERED — the direct discriminator
     between engine serialization and machine noise."""
+    quiet_gate = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "3.0"))
+    gate_timeout = float(os.environ.get("SPARK_GRAFT_QUIET_TIMEOUT", "900"))
     results: dict[int, list[dict]] = {8: [], 32: []}
     for r in range(repeats):
         for cpus in (8, 32):
+            # launch each leg only in a quiet host window (or record that
+            # none arrived within the timeout) — round-4's official number
+            # was measured in windows delivering 0.3-1.6 of requested cores
+            load = _wait_quiet(max_load=quiet_gate, timeout=gate_timeout)
             cpu0 = _tree_cpu_secs()
             spark = _spark(cpus, f"crawl-scaling-{cpus}-r{r}")
             out = crawl_throughput(
@@ -221,6 +284,8 @@ def run_scaling(
             spark.stop()
             out["cpu_secs"] = round(cpu1 - cpu0, 1)
             out["delivered_parallelism"] = round(out["cpu_secs"] / out["secs"], 2)
+            out["cpu_ms_per_url"] = round(1000 * out["cpu_secs"] / max(out["committed"], 1), 1)
+            out["load_avg_at_launch"] = round(load, 2)
             results[cpus].append(out)
             print(f"  local[{cpus}] run {r}: {out}", file=sys.stderr)
     best = {c: max(runs, key=lambda x: x["urls_per_sec"]) for c, runs in results.items()}

@@ -641,8 +641,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         px = _idct_blocks(grids[cid]) + 128.0
         nby, nbx = grids[cid].shape[:2]
         full = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
-        # crop to the component's own sample grid, then replicate up to full
-        # resolution (nearest-neighbor chroma upsample)
+        # crop to the component's own sample grid, then upsample to full
+        # resolution (triangular "fancy" filter via _triangle_upsample2)
         ch = -(-h * vi // vmax)
         cw = -(-w * hi // hmax)
         comp = full[:ch, :cw]

@@ -339,9 +339,10 @@ def _apply_predictor_inverse(img: np.ndarray, modes: np.ndarray, bits: int) -> N
                 L = px[y, x - 1]
                 T = px[y - 1, x]
                 TL = px[y - 1, x - 1]
-                TR = px[y - 1, x + 1] if x + 1 < w else px[y - 1, 0] * 0 + px[y - 1, x]  # spec: TR of last col = first pixel of same row? use T
-                if x + 1 >= w:
-                    TR = T
+                # RFC 9649 §4.4.1: in the rightmost column TR wraps to the
+                # leftmost pixel of the SAME row (already reconstructed) —
+                # libwebp's contiguous-buffer top[x+1] lands on row y, col 0.
+                TR = px[y - 1, x + 1] if x + 1 < w else px[y, 0]
                 if mode == 0:
                     pred = np.array([255, 0, 0, 0], dtype=np.int32)
                 elif mode == 1:
@@ -403,9 +404,13 @@ def _apply_color_inverse(img: np.ndarray, cdata: np.ndarray, bits: int) -> None:
             img[y, x, 3] = b
 
 
-def decode_webp(data: bytes) -> np.ndarray:
+def decode_webp(data: bytes, max_pixels: int | None = None) -> np.ndarray:
     """WebP bytes -> (h, w, 3) uint8 RGB (alpha dropped after compositing
-    is left to the caller; VP8L alpha is decoded but not returned)."""
+    is left to the caller; VP8L alpha is decoded but not returned).
+
+    ``max_pixels`` rejects oversized dimensions BEFORE any symbol decoding —
+    the per-pixel Python loops are unbounded in cost, so untrusted fetch
+    payloads must pass a cap (crawler/imaging.py does)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP (missing RIFF/WEBP header)")
     # find the VP8L chunk (bare or inside VP8X layout)
@@ -429,6 +434,11 @@ def decode_webp(data: bytes) -> np.ndarray:
     br = _BitReader(payload[1:])
     w = br.read_bits(14) + 1
     h = br.read_bits(14) + 1
+    if max_pixels is not None and w * h > max_pixels:
+        raise ValueError(
+            f"VP8L dimensions {w}x{h} exceed max_pixels={max_pixels} "
+            "(decode cost cap for untrusted payloads)"
+        )
     br.read_bit()  # alpha hint
     if br.read_bits(3) != 0:
         raise ValueError("unknown VP8L version")
@@ -487,8 +497,11 @@ def decode_webp(data: bytes) -> np.ndarray:
                     idx[:, x] = (src >> shift) & ((1 << bpp) - 1)
             else:
                 idx = img[..., 2].astype(np.int32)
-            idx = np.clip(idx, 0, len(pal) - 1)
-            img = pal[idx]
+            # RFC 9649 §4.4.4: index >= color_table_size yields 0x00000000
+            # (transparent black), not a clamped palette entry.
+            pal_ext = np.vstack([pal, np.zeros((1, 4), dtype=pal.dtype)])
+            idx = np.where(idx >= len(pal), len(pal), idx)
+            img = pal_ext[idx]
     # [a, r, g, b] -> RGB
     return img[..., 1:4].copy()
 

@@ -257,6 +257,9 @@ def _pagerank_loop(
             out = iterates[conv - 1].localCheckpoint(eager=True)
             for h in iterates:
                 h.unpersist()
+            # tip is this stride's chain checkpoint, not the returned frame —
+            # drop it or a long-lived serve session leaks one RDD per call
+            tip.unpersist()
             prev = out
             break
         for h in iterates:

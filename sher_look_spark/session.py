@@ -31,6 +31,24 @@ def get_spark(
         else:
             shuffle_partitions = 32
 
+    # Python workers inherit this process's environment in local mode: pin
+    # BLAS to one thread per worker so 32 concurrent codec workers don't
+    # oversubscribe cores with library-internal thread pools (the payload
+    # math is small-matrix numpy; BLAS threading only adds contention).
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
+    # GC-thread cap: on a 32-core box G1 defaults to ~23 parallel GC threads
+    # in ONE shared JVM; round-4 stage-isolation probes measured the cap
+    # recovering ~10% of the JVM-side CPU share at local[32] (the payload
+    # path churns large short-lived Arrow buffers, so GC runs often). On a
+    # real multi-executor cluster each executor JVM is small and this is the
+    # per-executor default posture anyway.
+    gc_opts = (
+        "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2 "
+        "-XX:+UseG1GC -XX:G1HeapRegionSize=16m"
+    )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -51,6 +69,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JVM_OPTS", gc_opts),
+        )
+        # one python worker per core, reused across stages (default true but
+        # pinned explicitly: a cold worker pays numpy import per stage)
+        .config("spark.python.worker.reuse", "true")
         # Everything is PROCESS_LOCAL in local mode (and node-local on a
         # co-located cluster); never idle a core waiting for locality.
         .config("spark.locality.wait", "0s")

@@ -149,6 +149,37 @@ def test_color_indexing_packed():
     assert np.array_equal(dec, want.astype(np.uint8))
 
 
+def test_color_indexing_out_of_range_is_transparent_black():
+    """RFC 9649 §4.4.4: index >= color_table_size decodes to 0x00000000
+    (transparent black -> RGB (0,0,0)), never a clamped palette entry."""
+    w, h = 5, 2
+    c0, c1, c2 = (10, 20, 30), (200, 150, 100), (1, 2, 3)
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.write_bit(1)
+    bw.write_bits(3, 2)  # color-indexing
+    bw.write_bits(3 - 1, 8)  # 3 colors -> width_bits=2, 4 packed per byte
+    pcodes = _plain_codes(bw, sub=True)
+    _emit_px(bw, pcodes, *c0)
+    _emit_px(bw, pcodes, (c1[0] - c0[0]) & 0xFF, (c1[1] - c0[1]) & 0xFF, (c1[2] - c0[2]) & 0xFF)
+    _emit_px(bw, pcodes, (c2[0] - c1[0]) & 0xFF, (c2[1] - c1[1]) & 0xFF, (c2[2] - c1[2]) & 0xFF)
+    bw.write_bit(0)  # no more transforms
+    codes = _plain_codes(bw)
+    idx = np.array([[0, 1, 2, 3, 1], [3, 3, 0, 2, 1]])  # 3 is OOB
+    packed_w = (w + 3) // 4
+    for y in range(h):
+        for bx in range(packed_w):
+            byte = 0
+            for k in range(4):
+                x = bx * 4 + k
+                if x < w:
+                    byte |= int(idx[y, x]) << (2 * k)
+            _emit_px(bw, codes, 0, byte, 0)
+    dec = decode_webp(_wrap_vp8l(bw))
+    pal = np.array([c0, c1, c2, (0, 0, 0)], dtype=np.uint8)
+    assert np.array_equal(dec, pal[idx])
+
+
 def test_color_cache_hits():
     """Literal fills the cache; subsequent identical pixels arrive as cache
     symbols and must reproduce the same ARGB."""
@@ -251,6 +282,54 @@ def test_predictor_transform_mode_L():
                 (255 - pa) & 0xFF,
             )
     assert np.array_equal(decode_webp(_wrap_vp8l(bw)), arr)
+
+
+def test_predictor_transform_mode_TR_right_edge():
+    """Predictor mode 3 (top-right) everywhere. RFC 9649 §4.4.1: in the
+    rightmost column TR wraps to the leftmost pixel of the SAME row (already
+    reconstructed), not T — residuals built with that forward rule must
+    invert exactly, which fails if the decoder substitutes T on the edge."""
+    arr = _rand(5, 6, seed=11)
+    h, w, _ = arr.shape
+    bits = 3  # 8x8 tiles -> one tile covers the whole image
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.write_bit(1)
+    bw.write_bits(0, 2)  # predictor
+    bw.write_bits(bits - 2, 3)
+    pcodes = _plain_codes(bw, sub=True)
+    _emit_px(bw, pcodes, 0, 3, 0)  # green=3 -> mode TR, single tile
+    bw.write_bit(0)  # no more transforms
+    codes = _plain_codes(bw)
+    px = arr.astype(np.int32)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pa, (pr, pg, pb) = 255, (0, 0, 0)
+            elif y == 0:
+                pa, (pr, pg, pb) = 255, px[0, x - 1]
+            elif x == 0:
+                pa, (pr, pg, pb) = 255, px[y - 1, 0]
+            else:  # mode TR; rightmost column wraps to px[y, 0]
+                src = px[y - 1, x + 1] if x + 1 < w else px[y, 0]
+                pa, (pr, pg, pb) = 255, src
+            r, g, b = px[y, x]
+            _emit_px(
+                bw, codes,
+                (r - pr) & 0xFF, (g - pg) & 0xFF, (b - pb) & 0xFF,
+                (255 - pa) & 0xFF,
+            )
+    assert np.array_equal(decode_webp(_wrap_vp8l(bw)), arr)
+
+
+def test_decode_rejects_oversized_dims():
+    """max_pixels caps decode cost before any symbol reading (untrusted
+    fetch payloads); a tiny image under the cap still decodes."""
+    arr = _rand(4, 4, seed=9)
+    data = encode_webp_lossless(arr)
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_webp(data, max_pixels=8)
+    assert np.array_equal(decode_webp(data, max_pixels=16), arr)
 
 
 def test_meta_prefix_groups():
