@@ -1,4 +1,4 @@
-"""Pure-numpy baseline JPEG codec (ITU-T T.81 baseline sequential).
+"""Pure-numpy JPEG codec (ITU-T T.81): baseline sequential + progressive.
 
 The container ships no image libraries, but real crawl payloads are
 overwhelmingly JPEG — so the engine carries a minimal-but-real codec built
@@ -6,15 +6,19 @@ from the public spec: standard Annex-K quantization + Huffman tables, 8x8
 DCT as an orthonormal matrix product, JFIF YCbCr color transform, canonical
 Huffman bitstreams with 0xFF byte stuffing. Encode writes baseline 4:4:4 or
 4:2:0 (``subsampling="420"`` box-averages chroma 2x2 and interleaves
-2x2+1+1 MCUs). Decode handles baseline sequential frames at any sampling
-factor in {1,2}x{1,2} per component — 4:4:4, 4:2:2, 4:4:0 and the 4:2:0
-virtually every real web JPEG uses — plus single-component (grayscale)
-frames; chroma upsampling is the classic triangular ("fancy") filter,
-exact on constant planes. Scan components map to
-planes by SOF component id, not scan position, so a conformant stream whose
-SOS lists components in an unusual order still decodes with correct
-channels. Progressive (SOF2), arithmetic coding, restart intervals and
-16-bit quant tables are rejected explicitly.
+2x2+1+1 MCUs), plus progressive (``encode_jpeg_progressive``, a
+spectral-selection + successive-approximation scan script). Decode handles
+sequential frames (SOF0/SOF1, interleaved or multi-scan non-interleaved)
+AND progressive frames (SOF2, T.81 Annex G: DC first/refinement, AC
+first/refinement with EOB-run coding) at any sampling factor in {1,2}x{1,2}
+per component — 4:4:4, 4:2:2, 4:4:0 and the 4:2:0 virtually every real web
+JPEG uses — plus single-component (grayscale) frames; chroma upsampling is
+the classic triangular ("fancy") filter, exact on constant planes. Scan
+components map to planes by SOF component id, not scan position, so a
+conformant stream whose SOS lists components in an unusual order still
+decodes with correct channels. Arithmetic coding, nonzero restart
+intervals, hierarchical/lossless modes and 16-bit quant tables are
+rejected explicitly.
 
 All block math is vectorized numpy (the per-batch path under
 operators.multimodal's mapInPandas); only the entropy coder walks symbols in
@@ -303,6 +307,69 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: list[int], c: int,
         bw.write(code, ln)
 
 
+def _quantized_components(
+    arr: np.ndarray, quality: int, subsampling: str
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """RGB -> per-component quantized zigzag block grids [(nby, nbx, 64)
+    int32] plus the two quant tables. 4:2:0 box-downsamples chroma 2x2 and
+    16-aligns the luma grid so MCUs are whole."""
+    qt = [quality_scaled(QT_LUMA, quality), quality_scaled(QT_CHROMA, quality)]
+    ycc = rgb_to_ycbcr(arr)
+    sub = subsampling == "420"
+    comps = []
+    for c in range(3):
+        t = 0 if c == 0 else 1
+        plane = ycc[..., c]
+        if sub and c > 0:
+            plane = _box_downsample2(plane)
+        align = 16 if (sub and c == 0) else 8
+        blocks = _to_blocks(plane - 128.0, align)
+        coefs = _dct_blocks(blocks)
+        q = np.floor(coefs / qt[t] + 0.5).astype(np.int32)  # round-half-up
+        nby, nbx = q.shape[:2]
+        comps.append(q.reshape(nby, nbx, 64)[..., ZIGZAG])
+    return comps, qt
+
+
+# Uniform 8-bit AC table for the progressive encoder's scans: every symbol a
+# progressive AC scan can emit — (r<<4)|size for size 0..10 (size 0 covers
+# EOB-run categories g=r and ZRL r=15) — at a fixed 8-bit length (canonical,
+# prefix-free, all-ones code unused). Fixture-grade like the WebP subset
+# encoder: ~1.6x the bytes of an optimized table, irrelevant for tests; the
+# DECODER reads arbitrary DHTs, which is what real-web coverage needs.
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
+
+
+def _frame_headers(
+    h: int,
+    w: int,
+    qt: list[np.ndarray],
+    samp: list[int],
+    sof_marker: int,
+    huff: tuple = (
+        (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
+        (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ),
+) -> bytearray:
+    """SOI + JFIF APP0 + DQT + SOF + DHTs (3-component)."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for t in (0, 1):  # DQT in zigzag order
+        zzq = qt[t].reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([t]) + zzq
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, samp[cid - 1], tq])
+    out += bytes([0xFF, sof_marker]) + struct.pack(">H", 2 + len(sof)) + sof
+    for cls, tid, bits, vals in huff:
+        body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    return out
+
+
 def encode_jpeg(
     arr: np.ndarray,
     quality: int = 90,
@@ -322,8 +389,7 @@ def encode_jpeg(
     if sorted(scan_order) != [1, 2, 3]:
         raise ValueError("scan_order must be a permutation of (1, 2, 3)")
     h, w, _ = arr.shape
-    qt = [quality_scaled(QT_LUMA, quality), quality_scaled(QT_CHROMA, quality)]
-    ycc = rgb_to_ycbcr(arr)
+    comps, qt = _quantized_components(arr, quality, subsampling)
 
     dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
                 _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
@@ -331,20 +397,6 @@ def encode_jpeg(
                 _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
 
     sub = subsampling == "420"
-    # per-component quantized zigzag blocks as (nby, nbx, 64)
-    comps = []
-    for c in range(3):
-        t = 0 if c == 0 else 1
-        plane = ycc[..., c]
-        if sub and c > 0:
-            plane = _box_downsample2(plane)
-        align = 16 if (sub and c == 0) else 8
-        blocks = _to_blocks(plane - 128.0, align)
-        coefs = _dct_blocks(blocks)
-        q = np.floor(coefs / qt[t] + 0.5).astype(np.int32)  # round-half-up
-        nby, nbx = q.shape[:2]
-        comps.append(q.reshape(nby, nbx, 64)[..., ZIGZAG])
-
     bw = _BitWriter()
     pred = [0, 0, 0]
     mcuy, mcux = comps[2].shape[:2]  # chroma block grid == MCU grid
@@ -367,30 +419,221 @@ def encode_jpeg(
     bw.flush()
 
     samp = [0x22, 0x11, 0x11] if sub else [0x11, 0x11, 0x11]
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    for t in (0, 1):  # DQT in zigzag order
-        zzq = qt[t].reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([t]) + zzq
-    # SOF0: precision 8, 3 components
-    sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, samp[cid - 1], tq])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    for cls, tid, bits, vals in (
-        (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
-        (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
-        (1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
-        (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
-    ):
-        body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
-        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    out = _frame_headers(h, w, qt, samp, 0xC0)
     sos = bytes([3]) + b"".join(
         bytes([cid, 0x00 if cid == 1 else 0x11]) for cid in scan_order
     ) + bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """HxWx3 uint8 RGB -> progressive JFIF bytes (SOF2, T.81 Annex G).
+
+    Scan script (exercises every progressive decode path):
+      1. DC first, interleaved, Al=1
+      2. DC refinement, interleaved, Ah=1 -> Al=0 (raw bits)
+      3. per component: AC first, Ss=1..63, Al=1 (EOB-run coding)
+      4. per component: AC refinement, Ah=1 -> Al=0 (correction bits,
+         buffered-bit EOB runs, ZRL)
+    The final Al=0 scans restore every quantized coefficient exactly, so
+    decoded pixels are bit-identical to ``encode_jpeg`` at the same quality
+    and subsampling."""
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("expected HxWx3 uint8 array")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    h, w, _ = arr.shape
+    comps, qt = _quantized_components(arr, quality, subsampling)
+    sub = subsampling == "420"
+    dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+                _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    # one uniform AC table (id 0) for every AC scan: the Annex-K baseline
+    # tables lack EOB-run symbols 0x10..0xE0, which progressive scans need
+    prog_ac = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+    mcuy, mcux = comps[2].shape[:2]  # chroma block grid == MCU grid
+    hmax = vmax = 2 if sub else 1
+
+    def mcu_blocks():
+        """(component, zigzag block) in interleaved MCU order (DC scans)."""
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in range(3):
+                    if sub and c == 0:
+                        for v in (0, 1):
+                            for u in (0, 1):
+                                yield c, comps[0][2 * my + v, 2 * mx + u]
+                    else:
+                        yield c, comps[c][my, mx]
+
+    def comp_true_dims(c: int) -> tuple[int, int]:
+        """Non-interleaved block dims: ceil of the component's OWN sample
+        grid (T.81 A.2.2) — excludes the encoder grid's MCU padding."""
+        hi = vi = 2 if (sub and c == 0) else 1
+        return -(-(-(-h * vi // vmax)) // 8), -(-(-(-w * hi // hmax)) // 8)
+
+    scans: list[tuple[bytes, bytes]] = []  # (SOS header body, entropy bytes)
+
+    # ---- scan 1: DC first (interleaved, Al=1) -----------------------------
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for c, zz in mcu_blocks():
+        t = 0 if c == 0 else 1
+        v = int(zz[0]) >> 1  # point transform (arithmetic shift, G.1.2.1)
+        size, bits = _magnitude(v - pred[c])
+        code, ln = dc_codes[t][size]
+        bw.write(code, ln)
+        if size:
+            bw.write(bits, size)
+        pred[c] = v
+    bw.flush()
+    hdr = bytes([3]) + b"".join(
+        bytes([cid, 0x00 if cid == 1 else 0x10]) for cid in (1, 2, 3)
+    ) + bytes([0, 0, 0x01])  # Ss=0 Se=0 Ah=0 Al=1
+    scans.append((hdr, bytes(bw.out)))
+
+    # ---- scan 2: DC refinement (interleaved, Ah=1 -> Al=0, raw bits) ------
+    bw = _BitWriter()
+    for _c, zz in mcu_blocks():
+        bw.write(int(zz[0]) & 1, 1)
+    bw.flush()
+    hdr = bytes([3]) + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3)) + bytes(
+        [0, 0, 0x10]
+    )  # Ah=1 Al=0
+    scans.append((hdr, bytes(bw.out)))
+
+    # ---- scans 3..5: AC first per component (Ss=1..63, Al=1) --------------
+    for c in range(3):
+        actab = prog_ac
+        nby, nbx = comp_true_dims(c)
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if eobrun:
+                g = eobrun.bit_length() - 1
+                code, ln = actab[g << 4]
+                bw.write(code, ln)
+                if g:
+                    bw.write(eobrun - (1 << g), g)
+                eobrun = 0
+
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = comps[c][by, bx]
+                r = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    mag = abs(v) >> 1  # point transform, Al=1
+                    if mag == 0:
+                        r += 1
+                        continue
+                    flush_eobrun()
+                    while r > 15:
+                        code, ln = actab[0xF0]  # ZRL
+                        bw.write(code, ln)
+                        r -= 16
+                    size, bits = _magnitude(mag if v > 0 else -mag)
+                    code, ln = actab[(r << 4) | size]
+                    bw.write(code, ln)
+                    bw.write(bits, size)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+        flush_eobrun()
+        bw.flush()
+        hdr = bytes([1, c + 1, 0x00]) + bytes([1, 63, 0x01])  # Ta=0, Ah=0 Al=1
+        scans.append((hdr, bytes(bw.out)))
+
+    # ---- scans 6..8: AC refinement per component (Ah=1 -> Al=0) -----------
+    ah, al = 1, 0
+    for c in range(3):
+        actab = prog_ac
+        nby, nbx = comp_true_dims(c)
+        bw = _BitWriter()
+        eobrun = 0
+        be: list[int] = []        # correction bits riding the pending EOB run
+        br_bits: list[int] = []   # correction bits since this block's last symbol
+
+        def flush_eobrun_refine():
+            nonlocal eobrun
+            if eobrun:
+                g = eobrun.bit_length() - 1
+                code, ln = actab[g << 4]
+                bw.write(code, ln)
+                if g:
+                    bw.write(eobrun - (1 << g), g)
+                eobrun = 0
+                for b in be:
+                    bw.write(b, 1)
+                be.clear()
+
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = comps[c][by, bx]
+                # last newly-significant position folds trailing work into EOB
+                eob_pos = 0
+                for k in range(1, 64):
+                    a = abs(int(zz[k]))
+                    if (a >> ah) == 0 and (a >> al) != 0:
+                        eob_pos = k
+                r = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    mag = abs(v) >> al
+                    if mag == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob_pos:
+                        flush_eobrun_refine()
+                        code, ln = actab[0xF0]  # ZRL
+                        bw.write(code, ln)
+                        r -= 16
+                        for b in br_bits:
+                            bw.write(b, 1)
+                        br_bits.clear()
+                    if mag > 1:  # significant after the previous pass
+                        br_bits.append(mag & 1)
+                        continue
+                    # newly significant (±1 << Al)
+                    flush_eobrun_refine()
+                    code, ln = actab[(r << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if v > 0 else 0, 1)
+                    for b in br_bits:
+                        bw.write(b, 1)
+                    br_bits.clear()
+                    r = 0
+                if r > 0 or br_bits:
+                    eobrun += 1
+                    be.extend(br_bits)
+                    br_bits.clear()
+                    if eobrun == 0x7FFF:
+                        flush_eobrun_refine()
+        flush_eobrun_refine()
+        bw.flush()
+        hdr = bytes([1, c + 1, 0x00]) + bytes([1, 63, 0x10])  # Ta=0, Ah=1 Al=0
+        scans.append((hdr, bytes(bw.out)))
+
+    samp = [0x22, 0x11, 0x11] if sub else [0x11, 0x11, 0x11]
+    out = _frame_headers(
+        h, w, qt, samp, 0xC2,
+        huff=(
+            (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+            (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (1, 0, PROG_AC_BITS, PROG_AC_VALS),
+        ),
+    )
+    for hdr, entropy in scans:
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr + entropy
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -491,57 +734,215 @@ def _extend(v: int, size: int) -> int:
         return 0
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
+def _next_marker(data: bytes, pos: int) -> int:
+    """Index of the next marker (0xFF + nonzero code) at/after ``pos``,
+    skipping entropy bytes, 0xFF00 stuffing and 0xFF fill bytes. Restart
+    markers (RST0-7) inside entropy data are rejected — the codec refuses
+    nonzero DRI up front, so meeting one here means a malformed stream."""
+    i = pos
+    n = len(data)
+    while i < n - 1:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        nxt = data[i + 1]
+        if nxt == 0x00:
+            i += 2
+            continue
+        if nxt == 0xFF:
+            i += 1
+            continue
+        if 0xD0 <= nxt <= 0xD7:
+            raise NotImplementedError("restart markers unsupported")
+        return i
+    raise ValueError("ran off stream looking for a marker")
 
-def _read_block(br: _BitReader, pred: list[int], slot: int,
-                dtree: dict, atree: dict) -> np.ndarray:
-    """Entropy-decode one block -> natural-order 8x8 int32 coefficients."""
-    zz = np.zeros(64, dtype=np.int32)
-    size = _read_symbol(br, dtree)
-    diff = _extend(br.read_bits(size), size)
-    pred[slot] += diff
-    zz[0] = pred[slot]
-    k = 1
-    while k < 64:
-        rs = _read_symbol(br, atree)
-        run, size = rs >> 4, rs & 0x0F
-        if size == 0:
-            if run == 15:  # ZRL
-                k += 16
-                continue
-            break  # EOB
-        k += run
-        if k > 63:
-            raise ValueError("AC run overflow")
-        zz[k] = _extend(br.read_bits(size), size)
-        k += 1
-    nat = np.zeros(64, dtype=np.int32)
-    nat[ZIGZAG] = zz
-    return nat.reshape(8, 8)
+
+def _scan_block_order(scan_spec, spec_by_cid, w, h, hmax, vmax, n_frame_comps):
+    """Yield (cid, by, bx) in entropy order for one scan.
+
+    Interleaved scans (ns > 1) walk MCUs with hi x vi blocks per component
+    (T.81 A.2.3). Single-component scans walk the component's OWN block
+    raster ceil(cw/8) x ceil(ch/8) WITHOUT MCU padding (A.2.2) — the rule
+    both multi-scan sequential and every progressive AC scan use."""
+    if len(scan_spec) == 1:
+        cid = scan_spec[0][0]
+        hi, vi, _ = spec_by_cid[cid]
+        if n_frame_comps == 1:
+            hi = vi = hm = vm = 1
+        else:
+            hm, vm = hmax, vmax
+        cw = -(-w * hi // hm)
+        ch = -(-h * vi // vm)
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield cid, by, bx
+    else:
+        for my in range(-(-h // (8 * vmax))):
+            for mx in range(-(-w // (8 * hmax))):
+                for cid, _, _ in scan_spec:
+                    hi, vi, _ = spec_by_cid[cid]
+                    for v in range(vi):
+                        for u in range(hi):
+                            yield cid, my * vi + v, mx * hi + u
+
+
+def _scan_sequential(br, blocks, store, dtrees, atrees, pred) -> None:
+    """Full-block sequential scan (baseline, interleaved or not): DC diff +
+    AC run/size per block, written into the zigzag coefficient store."""
+    for cid, by, bx in blocks:
+        zz = store[cid][by, bx]
+        size = _read_symbol(br, dtrees[cid])
+        pred[cid] += _extend(br.read_bits(size), size)
+        zz[0] = pred[cid]
+        k = 1
+        while k < 64:
+            rs = _read_symbol(br, atrees[cid])
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("AC run overflow")
+            zz[k] = _extend(br.read_bits(size), size)
+            k += 1
+
+
+def _scan_dc_first(br, blocks, store, dtrees, pred, al) -> None:
+    """Progressive DC first scan (T.81 G.2): the point-transformed DC value
+    is diff-coded exactly like baseline, reconstructed at magnitude << Al."""
+    for cid, by, bx in blocks:
+        size = _read_symbol(br, dtrees[cid])
+        pred[cid] += _extend(br.read_bits(size), size)
+        store[cid][by, bx, 0] = pred[cid] << al
+
+
+def _scan_dc_refine(br, blocks, store, al) -> None:
+    """Progressive DC refinement: one raw bit per block ORed in at Al
+    (two's-complement OR is correct for negative DC values, G.1.2.1)."""
+    for cid, by, bx in blocks:
+        if br.read_bit():
+            store[cid][by, bx, 0] |= 1 << al
+
+
+def _scan_ac_first(br, blocks, store, atree, ss, se, al) -> None:
+    """Progressive AC first scan (G.1.2.2): run/size coding of the
+    point-transformed band Ss..Se with EOB-run symbols (r<15, size 0:
+    EOBRUN = 2^r - 1 + r extension bits MORE blocks end here)."""
+    eobrun = 0
+    for cid, by, bx in blocks:
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        zz = store[cid][by, bx]
+        k = ss
+        while k <= se:
+            rs = _read_symbol(br, atree)
+            r, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past Se")
+            zz[k] = _extend(br.read_bits(size), size) << al
+            k += 1
+
+
+def _scan_ac_refine(br, blocks, store, atree, ss, se, al) -> None:
+    """Progressive AC refinement (G.1.2.3): newly-significant coefficients
+    arrive as run-length symbols with size 1 (value ±1 << Al); every
+    already-nonzero coefficient passed over contributes one correction bit
+    that moves its magnitude up by 1 << Al when set; EOB runs skip whole
+    blocks while still consuming correction bits for their nonzero tail."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    eobrun = 0
+    for cid, by, bx in blocks:
+        zz = store[cid][by, bx]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _read_symbol(br, atree)
+                r, size = rs >> 4, rs & 0x0F
+                val = 0
+                if size == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    # r == 15: ZRL — advance over 16 zero-history positions
+                else:
+                    if size != 1:
+                        raise ValueError("AC refinement size must be 1")
+                    val = p1 if br.read_bit() else m1
+                while k <= se:
+                    coef = int(zz[k])
+                    if coef != 0:
+                        if br.read_bit() and (coef & p1) == 0:
+                            zz[k] = coef + (p1 if coef >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val != 0 and k <= se:
+                    zz[k] = val
+                k += 1
+        if eobrun > 0:
+            # correction bits for the remaining nonzero coefficients of this
+            # block, then count it against the run
+            while k <= se:
+                coef = int(zz[k])
+                if coef != 0 and br.read_bit() and (coef & p1) == 0:
+                    zz[k] = coef + (p1 if coef >= 0 else m1)
+                k += 1
+            eobrun -= 1
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline sequential JFIF bytes -> HxWx3 uint8 RGB.
+    """JFIF bytes -> HxWx3 uint8 RGB.
 
-    Sampling factors 1-2 per axis per component (4:4:4 / 4:2:0 / 4:2:2 /
-    4:4:0) and single-component grayscale frames; chroma upsampled by the
-    triangular filter. Planes are assigned by SOF component id (JFIF order
-    Y, Cb, Cr), looked up from the scan's cid — NOT by scan position."""
+    Frames: baseline/extended sequential (SOF0/SOF1) — interleaved or
+    multi-scan non-interleaved — and progressive (SOF2) with spectral
+    selection + successive approximation (T.81 Annex G): interleaved DC
+    first/refinement scans and single-component AC first/refinement scans
+    with EOB-run coding. Sampling factors 1-2 per axis per component
+    (4:4:4 / 4:2:0 / 4:2:2 / 4:4:0) and single-component grayscale frames;
+    chroma upsampled by the triangular filter. Planes are assigned by SOF
+    component id (JFIF order Y, Cb, Cr), looked up from the scan's cid —
+    NOT by scan position. Arithmetic coding, nonzero restart intervals,
+    hierarchical/lossless modes and 16-bit quant tables stay rejected."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htrees: dict[tuple[int, int], dict] = {}
     h = w = None
+    progressive = False
     comp_spec: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq) SOF order
-    scan_spec: list[tuple[int, int, int]] = []  # (cid, dc table, ac table)
-    entropy_start = None
-    while pos < len(data):
+    spec_by_cid: dict[int, tuple[int, int, int]] = {}
+    store: dict[int, np.ndarray] = {}  # cid -> (nby, nbx, 64) zigzag int32
+    hmax = vmax = 1
+    got_scan = False
+    while pos + 1 < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no segment body
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT (possibly multiple tables per segment)
@@ -564,10 +965,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[sp + 17 : sp + 17 + n])
                 htrees[(cls, tid)] = _decode_tree(bits, vals)
                 sp += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8 or nc not in (1, 3):
-                raise NotImplementedError("baseline 8-bit 1- or 3-component only")
+                raise NotImplementedError("8-bit 1- or 3-component frames only")
             for i in range(nc):
                 cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
                 hi, vi = samp >> 4, samp & 0x0F
@@ -576,70 +978,87 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         f"sampling factor {hi}x{vi} unsupported (1-2 per axis)"
                     )
                 comp_spec.append((cid, hi, vi, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("only baseline sequential (SOF0) supported")
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals unsupported")
-        elif marker == 0xDA:  # SOS
+            hmax = max(hi for _, hi, _, _ in comp_spec)
+            vmax = max(vi for _, _, vi, _ in comp_spec)
+            if nc == 1:
+                hmax = vmax = 1  # single-component frames are never interleaved
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            # coefficient store padded to whole MCUs (interleaved scans
+            # cover the padding; single-component scans cover a subset)
+            for cid, hi, vi, tq in comp_spec:
+                if nc == 1:
+                    hi = vi = 1
+                spec_by_cid[cid] = (hi, vi, tq)
+                store[cid] = np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only sequential (SOF0/SOF1) and progressive (SOF2) Huffman "
+                "frames supported"
+            )
+        elif marker == 0xDD:  # DRI — interval 0 just disables restarts
+            (interval,) = struct.unpack(">H", seg[:2])
+            if interval != 0:
+                raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS — decode this scan's entropy segment now
+            if not comp_spec:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
+            scan_spec = []
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                if cid not in spec_by_cid:
+                    raise ValueError(f"scan references unknown component id {cid}")
                 scan_spec.append((cid, tt >> 4, tt & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
             entropy_start = pos + seglen
-            break
+            end = _next_marker(data, entropy_start)
+            br = _BitReader(data[entropy_start:end])
+            blocks = _scan_block_order(
+                scan_spec, spec_by_cid, w, h, hmax, vmax, len(comp_spec)
+            )
+            if not progressive:
+                dtrees = {cid: htrees[(0, td)] for cid, td, _ in scan_spec}
+                atrees = {cid: htrees[(1, ta)] for cid, _, ta in scan_spec}
+                pred = {cid: 0 for cid, _, _ in scan_spec}
+                _scan_sequential(br, blocks, store, dtrees, atrees, pred)
+            elif ss == 0:  # DC scan
+                if se != 0:
+                    raise ValueError("progressive DC scan requires Se=0")
+                if ah == 0:
+                    dtrees = {cid: htrees[(0, td)] for cid, td, _ in scan_spec}
+                    pred = {cid: 0 for cid, _, _ in scan_spec}
+                    _scan_dc_first(br, blocks, store, dtrees, pred, al)
+                else:
+                    _scan_dc_refine(br, blocks, store, al)
+            else:  # AC scan
+                if len(scan_spec) != 1:
+                    raise ValueError("progressive AC scans carry one component")
+                atree = htrees[(1, scan_spec[0][2])]
+                if ah == 0:
+                    _scan_ac_first(br, blocks, store, atree, ss, se, al)
+                else:
+                    _scan_ac_refine(br, blocks, store, atree, ss, se, al)
+            got_scan = True
+            pos = end
+            continue
         pos += seglen
-    if entropy_start is None or h is None:
+    if not got_scan or h is None:
         raise ValueError("no scan found")
-    if len(scan_spec) != len(comp_spec):
-        raise NotImplementedError("multi-scan (non-interleaved) streams unsupported")
-    # find EOI (0xFFD9) scanning past stuffed bytes
-    end = len(data) - 2
-    while end > entropy_start and data[end : end + 2] != b"\xff\xd9":
-        end -= 1
-    br = _BitReader(data[entropy_start:end])
 
-    # plane slot by SOF component id (ADVICE: a conformant stream may list
-    # scan components in any order — indexing planes by scan position would
-    # silently swap channels)
-    slot_by_cid = {cid: i for i, (cid, _, _, _) in enumerate(comp_spec)}
-    spec_by_cid = {cid: (hi, vi, tq) for cid, hi, vi, tq in comp_spec}
-    for cid, _, _ in scan_spec:
-        if cid not in slot_by_cid:
-            raise ValueError(f"scan references unknown component id {cid}")
-    hmax = max(hi for _, hi, _, _ in comp_spec)
-    vmax = max(vi for _, _, vi, _ in comp_spec)
-    if len(comp_spec) == 1:
-        hmax = vmax = 1  # single-component scans are never MCU-interleaved
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
-    # per-component dequantized coefficient block grids (T.81 A.1.1: comp i
-    # spans ceil(w*hi/hmax) x ceil(h*vi/vmax) samples, padded to whole MCUs)
-    grids: dict[int, np.ndarray] = {}
-    for cid, hi, vi, tq in comp_spec:
-        if len(comp_spec) == 1:
-            hi = vi = 1
-        grids[cid] = np.zeros((mcuy * vi, mcux * hi, 8, 8), dtype=np.float64)
-    pred = [0] * len(comp_spec)
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for cid, dct, act in scan_spec:
-                hi, vi, tq = spec_by_cid[cid]
-                if len(comp_spec) == 1:
-                    hi = vi = 1
-                dtree, atree = htrees[(0, dct)], htrees[(1, act)]
-                qt = qtabs[tq]
-                slot = slot_by_cid[cid]
-                for v in range(vi):
-                    for u in range(hi):
-                        blk = _read_block(br, pred, slot, dtree, atree)
-                        grids[cid][my * vi + v, mx * hi + u] = blk * qt
+    # dequantize + inverse DCT + upsample per component (vectorized numpy)
     planes = []
     for cid, hi, vi, tq in comp_spec:
         if len(comp_spec) == 1:
             hi = vi = 1
-        px = _idct_blocks(grids[cid]) + 128.0
-        nby, nbx = grids[cid].shape[:2]
+        zz = store[cid]
+        nby, nbx = zz.shape[:2]
+        nat = np.zeros_like(zz)
+        nat[..., ZIGZAG] = zz
+        coefs = nat.reshape(nby, nbx, 8, 8).astype(np.float64) * qtabs[tq]
+        px = _idct_blocks(coefs) + 128.0
         full = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         # crop to the component's own sample grid, then upsample to full
         # resolution (triangular "fancy" filter via _triangle_upsample2)

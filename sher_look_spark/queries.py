@@ -635,7 +635,11 @@ def q_mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Odd doc_ids encode at 4:2:0 (the real-web subsampling): a constant plane
     is exact under 2x2 box-downsample, MCU interleave and the triangular
     chroma upsample, so the SAME closed-form chain certifies the subsampled
-    decode path against the SQL oracle."""
+    decode path against the SQL oracle. doc_id % 4 in (2, 3) rows encode
+    PROGRESSIVE (SOF2, encode_jpeg_progressive): the successive-approximation
+    script ends at Al=0, restoring every coefficient exactly, so the
+    identical closed-form oracle also value-certifies the progressive decode
+    path (both subsamplings)."""
     from pyspark.sql.functions import pandas_udf
 
     from sher_look_spark.operators.multimodal import image_features
@@ -644,7 +648,10 @@ def q_mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     def mkjpeg(ids: pd.Series) -> pd.Series:
         import numpy as np
 
-        from sher_look_spark.functions.jpegcodec import encode_jpeg
+        from sher_look_spark.functions.jpegcodec import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
 
         out = []
         for d in ids:
@@ -654,7 +661,8 @@ def q_mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             arr[:, :, 1] = (3 * d) % 256
             arr[:, :, 2] = (7 * d + 11) % 256
             sub = "420" if d % 2 else "444"
-            out.append(encode_jpeg(arr, quality=90, subsampling=sub))
+            enc = encode_jpeg_progressive if d % 4 >= 2 else encode_jpeg
+            out.append(enc(arr, quality=90, subsampling=sub))
         return pd.Series(out)
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)

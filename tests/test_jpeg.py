@@ -182,14 +182,78 @@ def test_grayscale_single_component_decode():
     assert psnr(g3, dec) >= 40.0
 
 
-def test_progressive_still_rejected():
-    """Progressive (SOF2) remains an explicit, clearly-reported boundary."""
-    arr = _smooth(16, 16)
-    data = bytearray(encode_jpeg(arr, 90))
-    i = bytes(data).find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # flip SOF0 -> SOF2
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(data))
+def test_progressive_roundtrip_matches_baseline():
+    """SOF2 decode: the progressive scan script (interleaved DC
+    first/refinement + per-component AC first/refinement with EOB runs)
+    restores every quantized coefficient, so decoded pixels must be
+    bit-identical to the baseline encoding at the same quality."""
+    from sher_look_spark.functions.jpegcodec import encode_jpeg_progressive
+
+    for shape in ((24, 24), (37, 29)):
+        arr = _smooth(*shape, seed=5)
+        for sub in ("444", "420"):
+            base = decode_jpeg(encode_jpeg(arr, 85, sub))
+            prog = decode_jpeg(encode_jpeg_progressive(arr, 85, sub))
+            assert np.array_equal(base, prog), (shape, sub)
+
+
+def test_progressive_psnr_above_40():
+    """The input_hint payload invariant holds through the progressive path."""
+    from sher_look_spark.functions.jpegcodec import encode_jpeg_progressive
+
+    arr = _smooth(48, 64, seed=8)
+    dec = decode_jpeg(encode_jpeg_progressive(arr, 95))
+    assert psnr(arr, dec) >= 40.0
+
+
+def test_progressive_eob_runs_flat_image():
+    """A flat image empties every AC block -> multi-block EOB runs with
+    category > 0 plus correction-bit-free refinement skips (the decoder's
+    eobrun accumulation paths in both AC scan kinds)."""
+    from sher_look_spark.functions.jpegcodec import encode_jpeg_progressive
+
+    flat = np.full((64, 64, 3), 77, np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(flat, 90)),
+        decode_jpeg(encode_jpeg(flat, 90)),
+    )
+
+
+def test_multiscan_sequential_non_interleaved():
+    """Baseline multi-scan: three single-component scans walk each
+    component's own block raster (T.81 A.2.2) and must decode identically
+    to the interleaved single-scan stream."""
+    import struct
+
+    from sher_look_spark.functions import jpegcodec as J
+
+    arr = _smooth(24, 17, seed=9)
+    h, w, _ = arr.shape
+    comps, qt = J._quantized_components(arr, 90, "444")
+    dc_codes = [
+        J._canonical_codes(J.DC_LUMA_BITS, J.DC_LUMA_VALS),
+        J._canonical_codes(J.DC_CHROMA_BITS, J.DC_CHROMA_VALS),
+    ]
+    ac_codes = [
+        J._canonical_codes(J.AC_LUMA_BITS, J.AC_LUMA_VALS),
+        J._canonical_codes(J.AC_CHROMA_BITS, J.AC_CHROMA_VALS),
+    ]
+    out = J._frame_headers(h, w, qt, [0x11, 0x11, 0x11], 0xC0)
+    for c in range(3):
+        t = 0 if c == 0 else 1
+        bw = J._BitWriter()
+        pred = [0, 0, 0]  # DC prediction resets per scan
+        nby, nbx = comps[c].shape[:2]
+        for by in range(nby):
+            for bx in range(nbx):
+                J._encode_block(bw, comps[c][by, bx], pred, c, t, dc_codes, ac_codes)
+        bw.flush()
+        sos = bytes([1, c + 1, (t << 4) | t, 0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos + bw.out
+    out += b"\xff\xd9"
+    assert np.array_equal(
+        decode_jpeg(bytes(out)), decode_jpeg(encode_jpeg(arr, 90, "444"))
+    )
 
 
 def test_synth_web_serves_420_for_web_sized_images():
