@@ -339,6 +339,7 @@ def snippets(
     doc_col: str = "doc_id",
     docs: DataFrame | None = None,
     desc_col: str = "description",
+    hits_bounded: bool = False,
 ) -> DataFrame:
     """Q11 with the reference's exact semantics (Ranker.java:548-611 +
     DatabaseHelper.getWordsAroundPositions :591-643):
@@ -351,8 +352,16 @@ def snippets(
     * docs with no hits fall back to their description (:588-590) when a
       ``docs(doc_col, desc_col)`` frame is supplied.
 
-    Plan shape: broadcast per-(doc, term) hit table + range predicate on the
-    postings scan, dedup on (doc, position), ordered collect per doc.
+    Plan shape: per-(doc, term) hit table joined back with a range predicate
+    on the postings scan, dedup on (doc, position), ordered collect per doc.
+
+    The hit table is O(matching docs x terms): unbounded for a corpus-wide
+    call with a frequent term, but <= page_size x terms on the serve path
+    (which pre-filters postings to one result page). ``hits_bounded=True``
+    asserts the caller's bound and forces a broadcast hash join (the serve
+    path's plan); the default leaves the strategy to AQE, which broadcasts
+    small hit tables at runtime and sort-merges big ones — a frequent term
+    at 100x corpus scale must not ship the hit table through the driver.
     """
     terms = postings.sparkSession.createDataFrame([(t,) for t in hit_terms], "word string")
     hits = (
@@ -362,7 +371,7 @@ def snippets(
         .select(doc_col, "hit")
     )
     ctx = (
-        postings.join(F.broadcast(hits), doc_col)
+        postings.join(F.broadcast(hits) if hits_bounded else hits, doc_col)
         .filter(
             (F.col("position") >= F.greatest(F.lit(0), F.col("hit") - window))
             & (F.col("position") <= F.col("hit") + window)

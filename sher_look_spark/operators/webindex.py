@@ -300,6 +300,9 @@ def search_pages(
         snips = snippets(
             page_postings, terms,
             docs=ranked.join(meta.select("doc_id", "description"), "doc_id", "left"),
+            # page_postings is pre-filtered to this page's <= per_page docs,
+            # so the hit table is tiny by construction — broadcast it
+            hits_bounded=True,
         )
         out = out.join(snips, "doc_id", "left")
     else:

@@ -1345,22 +1345,52 @@ WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.02
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs, fully value-checked: signatures are
     min-of-salted-sha256-hex slots (computable identically in DuckDB), LSH
-    banding joins on the band slice itself."""
+    banding joins on the band slice itself.
+
+    The corpus is augmented with deterministic near-duplicates — every 10th
+    doc reappears as doc_id+100000 with three words appended — so the LSH
+    band join and the signature-similarity verify stage process real
+    surviving pairs AT EVERY SCALE (the natural sf0.1 corpus yields zero
+    pairs under doc_id < 200, which timed signature computation only). The
+    identical augmentation runs in the SQL oracle, so every emitted pair
+    stays value-checked."""
     from sher_look_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
 
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    sigs = minhash_signatures(docs, num_hashes=32)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    variants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" nearly duplicate copy")).alias("text"),
+    )
+    sigs = minhash_signatures(docs.unionByName(variants), num_hashes=32)
     return minhash_lsh_pairs(sigs, bands=16).select(
         "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
     )
 
 
 def sql_dedup_minhash() -> str:
-    return f"""
-WITH {SQL_RAWTOK_CTE},
+    return """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 100000, text || ' nearly duplicate copy' FROM documents
+  WHERE doc_id < 200 AND doc_id % 10 = 0
+),
+rawtok AS (
+  SELECT doc_id, word,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS position
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '\\W+')) AS word,
+           generate_subscripts(regexp_split_to_array(lower(text), '\\W+'), 1) AS ord
+    FROM corpus
+  )
+  WHERE word <> ''
+),
 toklists AS (
   SELECT doc_id, list(word ORDER BY position) AS toks FROM rawtok
-  WHERE doc_id < 200 GROUP BY doc_id
+  GROUP BY doc_id
 ),
 shingles AS MATERIALIZED (
   SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),

@@ -65,6 +65,42 @@ def test_unsupported_codec_is_clearly_stubbed(spark):
     assert "NotImplementedError" in str(exc.value) or "codec" in str(exc.value)
 
 
+def test_imaging_reject_set():
+    """COVERAGE.md payload-coverage table: every ❌ class raises a typed
+    NotImplementedError naming the boundary; every ✅ class decodes. Pins
+    the documented reject set exactly (no silent wrong-pixels fallbacks)."""
+    import struct
+
+    from sher_look_spark.crawler.imaging import decode_image
+    from sher_look_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    arr = np.full((16, 16, 3), 90, np.uint8)
+
+    # ✅ baseline, progressive, multi-scan covered by test_jpeg; webp VP8L by
+    # test_webp; png/raw by the roundtrip tests above. ❌ classes:
+    # 1. JPEG nonzero restart interval (DRI)
+    data = bytearray(encode_jpeg(arr, 90))
+    i = bytes(data).find(b"\xff\xda")
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 8)
+    data[i:i] = dri
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg(bytes(data))
+    # 2. JPEG arithmetic coding (SOF9)
+    data = bytearray(encode_jpeg(arr, 90))
+    j = bytes(data).find(b"\xff\xc0")
+    data[j + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(bytes(data))
+    # 3. WebP lossy (VP8 intra-frame)
+    vp8 = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    with pytest.raises(NotImplementedError, match="VP8"):
+        decode_image(vp8, "webp")
+    # 4. unknown container formats (gif/avif/mp3/mp4 route here)
+    for fmt in ("gif", "avif", "mp3", "mp4"):
+        with pytest.raises(NotImplementedError, match="unsupported payload format"):
+            decode_image(b"\x00" * 16, fmt)
+
+
 def test_multimodal_plans_are_arrow(spark, images_df):
     from sher_look_spark.operators.multimodal import image_features
     from sher_look_spark.plans import plan_summary

@@ -162,6 +162,39 @@ def test_snippets_per_term_windows_merge(spark):
     assert "<b>alpha</b>" in toks and "<b>beta</b>" in toks
 
 
+def test_snippets_corpus_scale_hit_table_not_force_broadcast(spark):
+    """Corpus-wide snippets (hits_bounded unset) must NOT hint a driver
+    broadcast of the per-doc hit table — its size is O(matching docs), which
+    a frequent term makes unbounded at 100x corpus scale. Only the tiny
+    term-list join keeps an explicit hint; the hit join is left to AQE.
+    The serve path (hits_bounded=True, <= per_page docs) keeps both hints.
+    Values must be identical either way."""
+    from sher_look_spark.operators.ranking import snippets
+
+    rows = [
+        (d, "body", w, i)
+        for d in range(50)
+        for i, w in enumerate(["hit"] + [f"w{d}_{i}" for i in range(5)])
+    ]
+    postings = spark.createDataFrame(
+        rows, "doc_id int, section string, word string, position int"
+    )
+    free = snippets(postings, ["hit"])
+    hinted = snippets(postings, ["hit"], hits_bounded=True)
+
+    def n_hints(df):
+        # analyzed plan: hints still explicit (the optimizer folds them into
+        # the Join nodes, so optimizedPlan would show zero either way)
+        plan = df._jdf.queryExecution().analyzed().toString()
+        return plan.count("ResolvedHint")
+
+    assert n_hints(free) == 1, "only the term list may be hint-broadcast"
+    assert n_hints(hinted) == 2, "serve path forces the bounded hit broadcast"
+    a = {r.doc_id: r.snippet for r in free.collect()}
+    b = {r.doc_id: r.snippet for r in hinted.collect()}
+    assert a == b and len(a) == 50
+
+
 def test_snippets_description_fallback(spark):
     """Docs with no query-term hits fall back to the description
     (Ranker.java:588-590)."""
