@@ -319,89 +319,136 @@ def _decode_image_data(
 def _apply_predictor_inverse(img: np.ndarray, modes: np.ndarray, bits: int) -> None:
     """In-place inverse predictor transform (14 modes, §4.4.1). img is
     (h, w, 4) int-addressable uint8 [a,r,g,b]; modes (mh, mw) from the green
-    channel of the transform sub-image."""
+    channel of the transform sub-image.
+
+    The scan is inherently sequential (left neighbors are post-inverse), so
+    the inner loop runs on native Python ints over row lists — ~20x faster
+    than per-pixel numpy scalar ops, which matters now that real-web VP8L
+    payloads (megapixel scale, capped in crawler/imaging.py) route here."""
     h, w = img.shape[:2]
-    px = img.astype(np.int32)
-
-    def avg2(a, b):
-        return (a + b) // 2
-
+    mode_rows = modes.astype(np.int64)
+    prev: list[list[int]] = []
     for y in range(h):
+        residues = img[y].tolist()
+        row: list[list[int]] = [None] * w  # type: ignore[list-item]
+        mrow = mode_rows[y >> bits].tolist()
         for x in range(w):
             if x == 0 and y == 0:
-                pred = np.array([255, 0, 0, 0], dtype=np.int32)
+                pa, pr, pg, pb = 255, 0, 0, 0
             elif y == 0:
-                pred = px[0, x - 1]
+                pa, pr, pg, pb = row[x - 1]
             elif x == 0:
-                pred = px[y - 1, 0]
+                pa, pr, pg, pb = prev[0]
             else:
-                mode = int(modes[y >> bits, x >> bits])
-                L = px[y, x - 1]
-                T = px[y - 1, x]
-                TL = px[y - 1, x - 1]
-                # RFC 9649 §4.4.1: in the rightmost column TR wraps to the
-                # leftmost pixel of the SAME row (already reconstructed) —
-                # libwebp's contiguous-buffer top[x+1] lands on row y, col 0.
-                TR = px[y - 1, x + 1] if x + 1 < w else px[y, 0]
-                if mode == 0:
-                    pred = np.array([255, 0, 0, 0], dtype=np.int32)
-                elif mode == 1:
-                    pred = L
+                mode = mrow[x >> bits]
+                L = row[x - 1]
+                T = prev[x]
+                if mode == 1:
+                    pa, pr, pg, pb = L
                 elif mode == 2:
-                    pred = T
-                elif mode == 3:
-                    pred = TR
-                elif mode == 4:
-                    pred = TL
-                elif mode == 5:
-                    pred = avg2(avg2(L, TR), T)
-                elif mode == 6:
-                    pred = avg2(L, TL)
-                elif mode == 7:
-                    pred = avg2(L, T)
-                elif mode == 8:
-                    pred = avg2(TL, T)
-                elif mode == 9:
-                    pred = avg2(T, TR)
-                elif mode == 10:
-                    pred = avg2(avg2(L, TL), avg2(T, TR))
-                elif mode == 11:  # Select
-                    pl = np.abs(T - TL).sum()
-                    pt = np.abs(L - TL).sum()
-                    pred = L if pl < pt else T
-                elif mode == 12:  # ClampAddSubtractFull
-                    pred = np.clip(L + T - TL, 0, 255)
-                elif mode == 13:  # ClampAddSubtractHalf (C trunc division)
-                    ave = avg2(L, T)
-                    half = np.trunc((ave - TL) / 2.0).astype(np.int32)
-                    pred = np.clip(ave + half, 0, 255)
+                    pa, pr, pg, pb = T
+                elif mode == 0:
+                    pa, pr, pg, pb = 255, 0, 0, 0
                 else:
-                    raise ValueError(f"bad predictor mode {mode}")
-            px[y, x] = (px[y, x] + pred) & 0xFF
-    img[:] = px.astype(np.uint8)
+                    TL = prev[x - 1]
+                    # RFC 9649 §4.4.1: in the rightmost column TR wraps to
+                    # the leftmost pixel of the SAME row (already
+                    # reconstructed) — libwebp's contiguous-buffer top[x+1]
+                    # lands on row y, col 0.
+                    TR = prev[x + 1] if x + 1 < w else row[0]
+                    if mode == 3:
+                        pa, pr, pg, pb = TR
+                    elif mode == 4:
+                        pa, pr, pg, pb = TL
+                    elif mode == 5:
+                        pa = ((L[0] + TR[0]) // 2 + T[0]) // 2
+                        pr = ((L[1] + TR[1]) // 2 + T[1]) // 2
+                        pg = ((L[2] + TR[2]) // 2 + T[2]) // 2
+                        pb = ((L[3] + TR[3]) // 2 + T[3]) // 2
+                    elif mode == 6:
+                        pa, pr, pg, pb = (
+                            (L[0] + TL[0]) // 2, (L[1] + TL[1]) // 2,
+                            (L[2] + TL[2]) // 2, (L[3] + TL[3]) // 2,
+                        )
+                    elif mode == 7:
+                        pa, pr, pg, pb = (
+                            (L[0] + T[0]) // 2, (L[1] + T[1]) // 2,
+                            (L[2] + T[2]) // 2, (L[3] + T[3]) // 2,
+                        )
+                    elif mode == 8:
+                        pa, pr, pg, pb = (
+                            (TL[0] + T[0]) // 2, (TL[1] + T[1]) // 2,
+                            (TL[2] + T[2]) // 2, (TL[3] + T[3]) // 2,
+                        )
+                    elif mode == 9:
+                        pa, pr, pg, pb = (
+                            (T[0] + TR[0]) // 2, (T[1] + TR[1]) // 2,
+                            (T[2] + TR[2]) // 2, (T[3] + TR[3]) // 2,
+                        )
+                    elif mode == 10:
+                        pa = ((L[0] + TL[0]) // 2 + (T[0] + TR[0]) // 2) // 2
+                        pr = ((L[1] + TL[1]) // 2 + (T[1] + TR[1]) // 2) // 2
+                        pg = ((L[2] + TL[2]) // 2 + (T[2] + TR[2]) // 2) // 2
+                        pb = ((L[3] + TL[3]) // 2 + (T[3] + TR[3]) // 2) // 2
+                    elif mode == 11:  # Select
+                        pl = (
+                            abs(T[0] - TL[0]) + abs(T[1] - TL[1])
+                            + abs(T[2] - TL[2]) + abs(T[3] - TL[3])
+                        )
+                        pt = (
+                            abs(L[0] - TL[0]) + abs(L[1] - TL[1])
+                            + abs(L[2] - TL[2]) + abs(L[3] - TL[3])
+                        )
+                        pa, pr, pg, pb = L if pl < pt else T
+                    elif mode == 12:  # ClampAddSubtractFull
+                        pa = min(max(L[0] + T[0] - TL[0], 0), 255)
+                        pr = min(max(L[1] + T[1] - TL[1], 0), 255)
+                        pg = min(max(L[2] + T[2] - TL[2], 0), 255)
+                        pb = min(max(L[3] + T[3] - TL[3], 0), 255)
+                    elif mode == 13:  # ClampAddSubtractHalf (trunc toward 0)
+                        pred = []
+                        for ci in range(4):
+                            ave = (L[ci] + T[ci]) // 2
+                            d = ave - TL[ci]
+                            half = d // 2 if d >= 0 else -((-d) // 2)
+                            pred.append(min(max(ave + half, 0), 255))
+                        pa, pr, pg, pb = pred
+                    else:
+                        raise ValueError(f"bad predictor mode {mode}")
+            v = residues[x]
+            row[x] = [
+                (v[0] + pa) & 0xFF, (v[1] + pr) & 0xFF,
+                (v[2] + pg) & 0xFF, (v[3] + pb) & 0xFF,
+            ]
+        img[y] = np.asarray(row, dtype=np.uint8)
+        prev = row
 
 
 def _apply_color_inverse(img: np.ndarray, cdata: np.ndarray, bits: int) -> None:
-    """Inverse color transform (§4.4.2). cdata (mh, mw, 4) holds per-tile
-    transform elements in [a,r,g,b] as (0, red_to_blue, green_to_blue,
-    green_to_red)."""
+    """Inverse color transform (§4.4.2), fully vectorized: cdata (mh, mw, 4)
+    holds per-tile transform elements in [a,r,g,b] as (0, red_to_blue,
+    green_to_blue, green_to_red); both the element and the predicting
+    channel are interpreted as signed 8-bit (ColorTransformDelta)."""
     h, w = img.shape[:2]
+    ty = np.arange(h) >> bits
+    tx = np.arange(w) >> bits
+    tiles = cdata[np.ix_(ty, tx)]  # (h, w, 4) per-pixel transform elements
 
-    def delta(t, c):
-        return ((np.int8(np.uint8(t)).astype(np.int32) * np.int8(np.uint8(c)).astype(np.int32)) >> 5)
+    def delta(t: np.ndarray, c: np.ndarray) -> np.ndarray:
+        return (
+            t.astype(np.uint8).astype(np.int8).astype(np.int32)
+            * c.astype(np.uint8).astype(np.int8).astype(np.int32)
+        ) >> 5
 
-    for y in range(h):
-        ty = y >> bits
-        for x in range(w):
-            tx = x >> bits
-            g2r = int(cdata[ty, tx, 3])   # blue channel of tile pixel
-            g2b = int(cdata[ty, tx, 2])   # green channel
-            r2b = int(cdata[ty, tx, 1])   # red channel
-            a, r, g, b = (int(v) for v in img[y, x])
-            r = (r + delta(g2r, g)) & 0xFF
-            b = (b + delta(g2b, g) + delta(r2b, r)) & 0xFF
-            img[y, x, 1] = r
-            img[y, x, 3] = b
+    g = img[..., 2]
+    r = (img[..., 1].astype(np.int32) + delta(tiles[..., 3], g)) & 0xFF
+    b = (
+        img[..., 3].astype(np.int32)
+        + delta(tiles[..., 2], g)
+        + delta(tiles[..., 1], r)
+    ) & 0xFF
+    img[..., 1] = r.astype(np.uint8)
+    img[..., 3] = b.astype(np.uint8)
 
 
 def decode_webp(data: bytes, max_pixels: int | None = None) -> np.ndarray:

@@ -16,8 +16,12 @@ Real vs stubbed (this container has no image/audio libraries):
     LZ77); lossy VP8 streams stay explicitly rejected (a video intra-frame
     codec is out of scope)
   * fake video container 'vid0' (concatenated raw frames): REAL plumbing,
-    deterministic content — stands in for mp4 until a codec lib exists
-  * mp3/mp4: dispatch exists, decode raises NotImplementedError
+    deterministic content — a decodable-pixels stand-in next to mp4
+  * mp4: REAL container layer (functions/mp4box.py, ISO 14496-12 box tree +
+    sample tables) — sample_frames slices sync-sample (I-frame) access
+    units with pts/codec/dimensions; decoding those AVC/HEVC payloads to
+    pixels requires a video codec and raises NotImplementedError
+  * mp3: dispatch exists, decode raises NotImplementedError
     (clearly-marked stub; schema, partitioning, UDF signature and batch
     shape are the real thing)
 """
@@ -156,12 +160,34 @@ FRAME_SCHEMA = T.StructType(
 
 def sample_frames(df: DataFrame, every: int = 2, id_col: str = "video_id",
                   bytes_col: str = "bytes", fmt_col: str = "fmt") -> DataFrame:
-    """Every k-th frame of each video as a PNG row (1 video -> N frame rows)."""
+    """Every k-th frame of each video (1 video -> N frame rows).
+
+    'vid0' rows decode to pixels and re-encode as PNG rows; 'mp4' rows go
+    through the real ISO-BMFF sample tables and emit every k-th SYNC sample
+    (I-frame) as its raw access-unit bytes with fmt = codec fourcc — the
+    shape a downstream GPU-decode tier consumes."""
 
     def mapper(batches):
         for pdf in batches:
             rows = {f: [] for f in FRAME_SCHEMA.fieldNames()}
             for vid, data, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
+                if fmt == "mp4":
+                    # real ISO-BMFF container parse: slice the sync-sample
+                    # (I-frame) access units with their codec fourcc; pixel
+                    # decode of those AVC/HEVC payloads stays a declared
+                    # boundary (COVERAGE.md payload table)
+                    from sher_look_spark.functions.mp4box import mp4_extract_iframes
+
+                    for j, fr in enumerate(mp4_extract_iframes(bytes(data))):
+                        if j % every:
+                            continue
+                        rows["video_id"].append(vid)
+                        rows["frame_idx"].append(fr["index"])
+                        rows["bytes"].append(fr["bytes"])
+                        rows["w"].append(fr["width"])
+                        rows["h"].append(fr["height"])
+                        rows["fmt"].append(fr["codec"])
+                    continue
                 if fmt != "vid0":
                     raise NotImplementedError(f"frame sampling for fmt={fmt!r} needs a codec")
                 for i, frame in enumerate(decode_vid0(bytes(data))):

@@ -65,6 +65,55 @@ def test_unsupported_codec_is_clearly_stubbed(spark):
     assert "NotImplementedError" in str(exc.value) or "codec" in str(exc.value)
 
 
+def test_mp4_box_parse_and_iframe_extraction():
+    """Unfragmented MP4 (functions/mp4box.py): the hand-built fixture's box
+    tree + sample tables resolve to exact sync-sample byte slices with pts;
+    stss-less files treat every sample as sync; fragmented files reject."""
+    import struct
+
+    from sher_look_spark.functions.mp4box import (
+        build_minimal_mp4,
+        mp4_extract_iframes,
+        mp4_video_sample_table,
+    )
+
+    samples = [bytes([(i * 7 + 13) % 256]) * (20 + 3 * i) for i in range(6)]
+    mp4 = build_minimal_mp4(samples, sync=[0, 3], timescale=1000, delta=100)
+    st = mp4_video_sample_table(mp4)
+    assert (st["codec"], st["count"], st["width"], st["height"]) == ("avc1", 6, 64, 48)
+    frames = mp4_extract_iframes(mp4)
+    assert [f["index"] for f in frames] == [0, 3]
+    assert frames[0]["bytes"] == samples[0] and frames[1]["bytes"] == samples[3]
+    assert frames[1]["pts_seconds"] == pytest.approx(0.3)
+
+    # chunk map must hold when the last chunk is partial (5 samples, 2/chunk)
+    odd = build_minimal_mp4(samples[:5], sync=[4], samples_per_chunk=2)
+    assert mp4_extract_iframes(odd)[0]["bytes"] == samples[4]
+
+    # fragmented -> explicit boundary
+    frag = mp4 + struct.pack(">I", 8) + b"moof"
+    with pytest.raises(NotImplementedError, match="fragmented"):
+        mp4_video_sample_table(frag)
+
+
+def test_mp4_frame_sampling_through_spark(spark):
+    """sample_frames over fmt='mp4' rows: the mapInPandas path emits each
+    sync sample's raw access unit with fmt = codec fourcc (downstream
+    GPU-decode shape), alongside vid0 rows that decode to PNG."""
+    from sher_look_spark.functions.mp4box import build_minimal_mp4
+    from sher_look_spark.operators.multimodal import sample_frames
+
+    samples = [bytes([i]) * 16 for i in range(4)]
+    mp4 = build_minimal_mp4(samples, sync=[0, 2], width=32, height=24)
+    df = spark.createDataFrame(
+        [("v1", mp4, "mp4")], "video_id string, bytes binary, fmt string"
+    )
+    rows = {r.frame_idx: r for r in sample_frames(df, every=1).collect()}
+    assert set(rows) == {0, 2}
+    assert rows[0].fmt == "avc1" and bytes(rows[0].bytes) == samples[0]
+    assert rows[2].w == 32 and rows[2].h == 24
+
+
 def test_imaging_reject_set():
     """COVERAGE.md payload-coverage table: every ❌ class raises a typed
     NotImplementedError naming the boundary; every ✅ class decodes. Pins

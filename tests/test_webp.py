@@ -149,6 +149,39 @@ def test_color_indexing_packed():
     assert np.array_equal(dec, want.astype(np.uint8))
 
 
+def test_color_transform_inverse():
+    """Hand-built color-transform stream (§4.4.2): residuals produced by the
+    forward ColorTransformDelta rule (signed-8-bit element x channel, >>5)
+    must invert exactly — r from g, then b from g and the reconstructed r."""
+    w, h = 6, 4
+    arr = _rand(h, w, seed=21)
+    g2r, g2b, r2b = 0x35, 0xE2, 0x11  # mixed-sign int8 elements
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.write_bit(1)
+    bw.write_bits(1, 2)  # color transform
+    bw.write_bits(3 - 2, 3)  # 8x8 tiles -> single tile
+    pcodes = _plain_codes(bw, sub=True)
+    # tile pixel channels: red=r2b, green=g2b, blue=g2r (decoder reads
+    # cdata[..., 1]=r2b, [..., 2]=g2b, [..., 3]=g2r)
+    _emit_px(bw, pcodes, r2b, g2b, g2r)
+    bw.write_bit(0)  # no more transforms
+    codes = _plain_codes(bw)
+
+    def delta(t, c):
+        t = t - 256 if t >= 128 else t
+        c = c - 256 if c >= 128 else c
+        return (t * c) >> 5
+
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in arr[y, x])
+            rr = (r - delta(g2r, g)) & 0xFF
+            bb = (b - delta(g2b, g) - delta(r2b, r)) & 0xFF
+            _emit_px(bw, codes, rr, g, bb)
+    assert np.array_equal(decode_webp(_wrap_vp8l(bw)), arr)
+
+
 def test_color_indexing_out_of_range_is_transparent_black():
     """RFC 9649 §4.4.4: index >= color_table_size decodes to 0x00000000
     (transparent black -> RGB (0,0,0)), never a clamped palette entry."""
