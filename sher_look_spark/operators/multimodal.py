@@ -21,9 +21,9 @@ Real vs stubbed (this container has no image/audio libraries):
     sample tables) — sample_frames slices sync-sample (I-frame) access
     units with pts/codec/dimensions; decoding those AVC/HEVC payloads to
     pixels requires a video codec and raises NotImplementedError
-  * mp3: dispatch exists, decode raises NotImplementedError
-    (clearly-marked stub; schema, partitioning, UDF signature and batch
-    shape are the real thing)
+  * mp3: REAL frame-header metadata (functions/mp3meta.py — duration,
+    bitrate, sample rate, VBR-ness via audio_metadata); PCM decode raises
+    NotImplementedError (an MDCT/huffman audio codec is the boundary)
 """
 
 from __future__ import annotations
@@ -144,6 +144,42 @@ def resize_images(df: DataFrame, out_w: int, out_h: int, id_col: str = "image_id
             yield pd.DataFrame(rows)
 
     return df.select(id_col, bytes_col, fmt_col).mapInPandas(mapper, RESIZE_SCHEMA)
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType()),
+        T.StructField("frames", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("mean_bitrate_kbps", T.DoubleType()),
+        T.StructField("vbr", T.BooleanType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
+
+
+def audio_metadata(df: DataFrame, id_col: str = "audio_id",
+                   bytes_col: str = "bytes", fmt_col: str = "fmt") -> DataFrame:
+    """MP3 frame-header walk (functions/mp3meta.py) per Arrow batch: the
+    curation-pipeline metadata (duration/bitrate/sample-rate/VBR) without
+    decoding audio. Non-mp3 rows raise — callers filter fmt first."""
+    from sher_look_spark.functions.mp3meta import mp3_metadata
+
+    def mapper(batches):
+        for pdf in batches:
+            rows = {f: [] for f in AUDIO_META_SCHEMA.fieldNames()}
+            for aid, data, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
+                if fmt != "mp3":
+                    raise NotImplementedError(f"audio metadata for fmt={fmt!r}")
+                m = mp3_metadata(bytes(data))
+                rows["audio_id"].append(aid)
+                for k in ("frames", "duration_s", "sample_rate",
+                          "mean_bitrate_kbps", "vbr", "channels"):
+                    rows[k].append(m[k])
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bytes_col, fmt_col).mapInPandas(mapper, AUDIO_META_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(

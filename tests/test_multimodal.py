@@ -114,6 +114,27 @@ def test_mp4_frame_sampling_through_spark(spark):
     assert rows[2].w == 32 and rows[2].h == 24
 
 
+def test_mp3_metadata_parse_and_operator(spark):
+    """MP3 frame-header walk: frame count/duration/bitrate from the public
+    header structure (ID3v2 skipped, trailing junk tolerated), surfaced
+    through the Arrow audio_metadata operator; PCM decode stays rejected."""
+    from sher_look_spark.functions.mp3meta import build_minimal_mp3, mp3_metadata
+    from sher_look_spark.operators.multimodal import audio_metadata
+
+    mp3 = build_minimal_mp3(25, 128, 44100, id3=b"\x00" * 32)
+    m = mp3_metadata(mp3)
+    assert m["frames"] == 25 and m["sample_rate"] == 44100 and m["vbr"] is False
+    assert m["duration_s"] == pytest.approx(25 * 1152 / 44100, abs=1e-3)
+    with pytest.raises(ValueError):
+        mp3_metadata(b"\x01" * 64)
+
+    df = spark.createDataFrame(
+        [("a1", mp3, "mp3")], "audio_id string, bytes binary, fmt string"
+    )
+    row = audio_metadata(df).collect()[0]
+    assert row.frames == 25 and row.sample_rate == 44100 and row.channels == 2
+
+
 def test_imaging_reject_set():
     """COVERAGE.md payload-coverage table: every ❌ class raises a typed
     NotImplementedError naming the boundary; every ✅ class decodes. Pins
