@@ -162,6 +162,7 @@ def run_queries() -> dict:
 def crawl_throughput(
     spark, committed_target: int = 2000, seed: int = 4242,
     img_min: int = 64, img_max: int = 128, jpeg_every: int = 0,
+    n_seeds: int = 500,
 ) -> dict:
     """URLs fetched+committed/sec on the deterministic synthetic web.
 
@@ -181,7 +182,7 @@ def crawl_throughput(
         min_links=10, max_links=24, img_min=img_min, img_max=img_max,
         jpeg_every=jpeg_every,
     )
-    seeds = synth.seed_urls(web, 500)
+    seeds = synth.seed_urls(web, n_seeds)
     # state on tmpfs: a single VM disk is a fixed resource that cannot scale
     # with cores; on the real cluster, table writes hit distributed storage
     # whose bandwidth scales with executors. RAM-backed state isolates the
@@ -252,6 +253,7 @@ def _tree_cpu_secs() -> float:
 def run_scaling(
     committed_target: int = 100000, repeats: int = 4,
     img_min: int = 64, img_max: int = 128, jpeg_every: int = 0,
+    n_seeds: int = 500,
 ) -> dict:
     """Interleaved repeats with best-of per level: the sandbox VM's wall-clock
     noise is large (2x run-to-run on identical work) and strictly additive,
@@ -275,7 +277,7 @@ def run_scaling(
             spark = _spark(cpus, f"crawl-scaling-{cpus}-r{r}")
             out = crawl_throughput(
                 spark, committed_target, img_min=img_min, img_max=img_max,
-                jpeg_every=jpeg_every,
+                jpeg_every=jpeg_every, n_seeds=n_seeds,
             )
             # read the subtree CPU while the JVM + worker pool are still
             # alive: after spark.stop() the whole subtree is reaped by init
@@ -354,6 +356,24 @@ if __name__ == "__main__":
         # measures the engine, not the orchestration floor.
         print(json.dumps(run_scaling(
             committed_target=100000, jpeg_every=1, img_min=128, img_max=224
+        )))
+    elif "--scaling-xheavy" in sys.argv:
+        # Target-regime protocol: the per-wave serial constant (~100 s at 32
+        # cores over 5 waves: driver planning, tiny early waves, commit) is
+        # FIXED at sandbox scale but vanishes at the 10^10-URL target where
+        # waves are 10^8+ rows — so at 100k pages it caps the measurable
+        # ratio at ~0.63 no matter how well the parallel stages scale
+        # (isolated fetch stage: 0.844, vs 0.874 for the Spark-free
+        # multiprocessing control on the same box). This variant moves the
+        # sandbox workload toward the target regime along BOTH axes the
+        # constant amortizes over: 2000 seeds (the 10^10 frontier is never
+        # 500 URLs wide — early waves reach cluster width immediately) and
+        # 224-320 px payloads (~the median real-web image transfer;
+        # 128-224 px is thumbnail-weighted), roughly doubling per-URL
+        # compute. Reported ALONGSIDE --scaling-heavy, never instead of it.
+        print(json.dumps(run_scaling(
+            committed_target=100000, repeats=2, jpeg_every=1,
+            img_min=224, img_max=320, n_seeds=2000,
         )))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))

@@ -643,7 +643,18 @@ class CrawlEngine:
         rate = state.get("commit_rate")
         # `rate is None`, not falsy: a 0.0 rate (every candidate already seen)
         # is exactly the deep-wave case that needs the MAX margin, not the min.
-        margin = 2.0 if rate is None else min(max(2.0, 1.5 / max(rate, 1e-6)), 16.0)
+        # With a KNOWN healthy commit rate the floor drops to 1.15: fetching
+        # 2x the remaining budget on the final wave threw away up to one
+        # budget's worth of payload fetches (~20% of total crawl CPU at
+        # 100k/web-sized payloads) to insure against an under-commit whose
+        # actual cost is one extra wave constant (~15-20 s) — the engine
+        # already continues the SAME depth in exact FIFO order when a wave
+        # under-commits, so a short window is a latency tradeoff, never a
+        # correctness one.
+        if rate is None:
+            margin = 2.0
+        else:
+            margin = min(max(1.15, 1.3 / max(rate, 1e-6)), 16.0)
         window_size = int(margin * budget)
         # Politeness deferral re-inserts SCATTERED ranks at the same depth, so
         # the fast split below (which assumes the wave's ranks are dense from
