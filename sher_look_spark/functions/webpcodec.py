@@ -455,6 +455,11 @@ def decode_webp(data: bytes, max_pixels: int | None = None) -> np.ndarray:
     """WebP bytes -> (h, w, 3) uint8 RGB (alpha dropped after compositing
     is left to the caller; VP8L alpha is decoded but not returned).
 
+    Dispatches on the payload chunk: lossless ``VP8L`` decodes here; lossy
+    ``VP8 `` (keyframe intra bitstream — what most real-web .webp files
+    carry) decodes via functions/vp8codec.py (RFC 6386, YUV planes certified
+    bit-exact vs libwebp in tests/test_vp8.py).
+
     ``max_pixels`` rejects oversized dimensions BEFORE any symbol decoding —
     the per-pixel Python loops are unbounded in cost, so untrusted fetch
     payloads must pass a cap (crawler/imaging.py does)."""
@@ -470,8 +475,10 @@ def decode_webp(data: bytes, max_pixels: int | None = None) -> np.ndarray:
             payload = data[pos + 8 : pos + 8 + size]
             break
         if tag == b"VP8 ":
-            raise NotImplementedError(
-                "lossy WebP (VP8 intra-frame) unsupported; lossless VP8L only"
+            from .vp8codec import decode_vp8_rgb
+
+            return decode_vp8_rgb(
+                data[pos + 8 : pos + 8 + size], max_pixels=max_pixels
             )
         pos += 8 + size + (size & 1)
     if payload is None:
