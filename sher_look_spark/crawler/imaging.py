@@ -101,7 +101,7 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         return decode_jpeg(bytes(data))
     if fmt == "webp":
         # lossless WebP (VP8L, RFC 9649) via functions/webpcodec.py; lossy
-        # VP8 streams raise NotImplementedError inside the codec. The pixel
+        # VP8 keyframes (RFC 6386) via functions/vp8codec.py. The pixel
         # cap bounds the pure-Python decode loops against oversized
         # untrusted payloads in the fetch path (~1 Mpx ≈ 1024x1024).
         from sher_look_spark.functions.webpcodec import decode_webp

@@ -846,9 +846,11 @@ def decode_vp8_yuv(data: bytes, max_pixels: int | None = None):
     )
 
 
-def decode_vp8_rgb(data: bytes, max_pixels: int | None = None) -> np.ndarray:
-    """Decode to HxWx3 RGB uint8 (BT.601 limited-range, 2x chroma repeat)."""
-    y, u, v = decode_vp8_yuv(data, max_pixels=max_pixels)
+def yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """4:2:0 planes -> HxWx3 RGB uint8 (BT.601 limited-range, 2x chroma
+    repeat). Shared by decode_vp8_rgb and the mm oracle builder so both
+    sides of the correctness check apply the identical colorspace formula
+    to independently-decoded planes."""
     hh, ww = y.shape
     up = np.repeat(np.repeat(u.astype(np.int32), 2, 0), 2, 1)[:hh, :ww]
     vp = np.repeat(np.repeat(v.astype(np.int32), 2, 0), 2, 1)[:hh, :ww]
@@ -857,3 +859,405 @@ def decode_vp8_rgb(data: bytes, max_pixels: int | None = None) -> np.ndarray:
     g = (c - 100 * (up - 128) - 208 * (vp - 128) + 128) >> 8
     bl = (c + 516 * (up - 128) + 128) >> 8
     return np.clip(np.stack([r, g, bl], axis=-1), 0, 255).astype(np.uint8)
+
+
+def decode_vp8_rgb(data: bytes, max_pixels: int | None = None) -> np.ndarray:
+    """Decode to HxWx3 RGB uint8 (BT.601 limited-range, 2x chroma repeat)."""
+    return yuv420_to_rgb(*decode_vp8_yuv(data, max_pixels=max_pixels))
+
+
+# ------------------------------------------------------------------ encoder
+# Subset VP8 *encoder* (RFC 6386 #7.3 reference boolean encoder + the same
+# tables the decoder uses): keyframe, DC_PRED 16x16 luma + DC chroma for
+# every macroblock, one token partition, default coefficient probabilities,
+# loop filter level 0, no segmentation / skip flags. Enough to produce real,
+# spec-conformant lossy .webp payloads for the synthetic web and the mm
+# query fixtures; streams decode bit-exact through decode_vp8_yuv AND
+# through libwebp (certified in tests/test_vp8.py). The forward DCT/WHT are
+# derived NUMERICALLY as the exact linear inverses of this file's integer
+# inverse transforms, so no external encoder constants are needed, and the
+# encoder reconstructs each macroblock with the decoder's own integer
+# pipeline to keep the DC-prediction chain in perfect sync.
+
+class _BoolWriter:
+    """RFC 6386 #7.3 boolean *encoder* (bottom/range/bit-count form)."""
+
+    __slots__ = ("out", "rng", "bottom", "cnt")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.rng = 255
+        self.bottom = 0
+        self.cnt = 24
+
+    def _carry(self):
+        i = len(self.out) - 1
+        while self.out[i] == 255:
+            self.out[i] = 0
+            i -= 1
+        self.out[i] += 1
+
+    def put(self, prob: int, bit: int) -> None:
+        split = 1 + (((self.rng - 1) * prob) >> 8)
+        if bit:
+            self.bottom += split
+            self.rng -= split
+        else:
+            self.rng = split
+        while self.rng < 128:
+            if self.bottom & (1 << 31):
+                self._carry()
+            self.bottom = (self.bottom << 1) & 0xFFFFFFFF
+            self.cnt -= 1
+            if self.cnt == 0:
+                self.out.append((self.bottom >> 24) & 0xFF)
+                self.bottom &= (1 << 24) - 1
+                self.cnt = 8
+            self.rng <<= 1
+
+    def flag(self, bit: int) -> None:
+        self.put(128, bit)
+
+    def literal(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.put(128, (v >> i) & 1)
+
+    def tobytes(self) -> bytes:
+        c = self.cnt
+        v = self.bottom
+        if v & (1 << (32 - c)):
+            self._carry()
+        v = (v << (c & 7)) & 0xFFFFFFFF
+        c >>= 3
+        while c > 0:
+            v = (v << 8) & 0xFFFFFFFF
+            c -= 1
+        out = bytes(self.out)
+        tail = bytes(((v >> 24) & 0xFF, (v >> 16) & 0xFF,
+                      (v >> 8) & 0xFF, v & 0xFF))
+        return out + tail
+
+
+def _tree_path(tree, leaf: int):
+    """Root-to-leaf (prob_index, bit) path through an RFC 6386 mode tree."""
+    def walk(i, path):
+        for b in (0, 1):
+            j = tree[i + b]
+            p2 = path + [(i >> 1, b)]
+            if j <= 0:
+                if -j == leaf:
+                    return p2
+            else:
+                r = walk(j, p2)
+                if r is not None:
+                    return r
+        return None
+    return walk(0, [])
+
+
+_FWD_CACHE: dict = {}
+
+
+def _fwd_mats():
+    """(fdct_fwd, wht_fwd) 16x16 float matrices: exact linear inverses of
+    _idct_batch / _wht, derived numerically at high amplitude so the integer
+    rounding in the inverses washes out. Forward coefficients are rounded to
+    int; the ONLY reconstruction error left is quantization."""
+    if "m" in _FWD_CACHE:
+        return _FWD_CACHE["m"]
+    amp = 1 << 16
+    eye = np.eye(16, dtype=np.int64) * amp
+    idct_cols = _idct_batch(eye.astype(np.int32)).reshape(16, 16).T
+    wht_cols = np.stack([_wht(eye[i].astype(np.int32)) for i in range(16)], axis=1)
+    fdct = np.linalg.inv(idct_cols.astype(np.float64) / amp)
+    wht_f = np.linalg.inv(wht_cols.astype(np.float64) / amp)
+    _FWD_CACHE["m"] = (fdct, wht_f)
+    return _FWD_CACHE["m"]
+
+
+_CAT_BASE = (11, 19, 35, 67)  # v range starts for categories 3..6
+_MAX_LEVEL = 67 + 2047  # largest magnitude the token alphabet encodes
+
+
+def _quantize(vec: np.ndarray, dq_dc: int, dq_ac: int) -> np.ndarray:
+    """Round-to-nearest levels in natural order, clamped to the alphabet."""
+    dq = np.full(16, dq_ac, dtype=np.int64)
+    dq[0] = dq_dc
+    a = np.abs(vec.astype(np.int64))
+    lev = (a + dq // 2) // dq
+    np.clip(lev, 0, _MAX_LEVEL, out=lev)
+    return (np.sign(vec) * lev).astype(np.int64)
+
+
+def _put_coeffs(bw: _BoolWriter, probs_t, ctx: int, lev_scan, first: int) -> int:
+    """Encode one 4x4 block's levels (scan order), mirroring _get_coeffs.
+    Returns 1 if the block has any nonzero coefficient (the nz context)."""
+    last = -1
+    for i in range(first, 16):
+        if lev_scan[i]:
+            last = i
+    n = first
+    p = probs_t[_BANDS[n]][ctx]
+    while n < 16:
+        if last < n:
+            bw.put(p[0], 0)  # end-of-block
+            return 1 if last >= first else 0
+        bw.put(p[0], 1)
+        while lev_scan[n] == 0:
+            bw.put(p[1], 0)
+            n += 1
+            p = probs_t[_BANDS[n]][0]
+        bw.put(p[1], 1)
+        v = int(abs(lev_scan[n]))
+        if v == 1:
+            bw.put(p[2], 0)
+        else:
+            bw.put(p[2], 1)
+            if v <= 4:
+                bw.put(p[3], 0)
+                if v == 2:
+                    bw.put(p[4], 0)
+                else:
+                    bw.put(p[4], 1)
+                    bw.put(p[5], v - 3)
+            elif v <= 10:
+                bw.put(p[3], 1)
+                bw.put(p[6], 0)
+                if v <= 6:
+                    bw.put(p[7], 0)
+                    bw.put(159, v - 5)
+                else:
+                    bw.put(p[7], 1)
+                    bw.put(165, (v - 7) >> 1)
+                    bw.put(145, (v - 7) & 1)
+            else:
+                bw.put(p[3], 1)
+                bw.put(p[6], 1)
+                cat = 3
+                for c4 in range(4):
+                    if v < (_CAT_BASE[c4 + 1] if c4 < 3 else 1 << 30):
+                        cat = c4
+                        break
+                b1, b0 = cat >> 1, cat & 1
+                bw.put(p[8], b1)
+                bw.put(p[9 + b1], b0)
+                extra = v - _CAT_BASE[cat]
+                row = _CAT3456[cat]
+                for k, pr in enumerate(row):
+                    bw.put(pr, (extra >> (len(row) - 1 - k)) & 1)
+        bw.put(128, 1 if lev_scan[n] < 0 else 0)
+        n += 1
+        if n == 16:
+            return 1
+        p = probs_t[_BANDS[n]][2 if v > 1 else 1]
+    return 1
+
+
+def _rgb_to_yuv420(rgb: np.ndarray):
+    """BT.601 studio-range RGB->YUV with 2x2 box chroma (encoder-side
+    choice; the decode direction is fixed by decode_vp8_rgb)."""
+    r = rgb[:, :, 0].astype(np.int32)
+    g = rgb[:, :, 1].astype(np.int32)
+    b = rgb[:, :, 2].astype(np.int32)
+    y = ((66 * r + 129 * g + 25 * b + 128) >> 8) + 16
+    u = ((-38 * r - 74 * g + 112 * b + 128) >> 8) + 128
+    v = ((112 * r - 94 * g - 18 * b + 128) >> 8) + 128
+    h, w = y.shape
+    he, we = h + (h & 1), w + (w & 1)
+    up = np.empty((he, we), dtype=np.int32)
+    vp = np.empty((he, we), dtype=np.int32)
+    up[:h, :w] = u
+    vp[:h, :w] = v
+    if he > h:
+        up[h], vp[h] = up[h - 1], vp[h - 1]
+    if we > w:
+        up[:, w], vp[:, w] = up[:, w - 1], vp[:, w - 1]
+    u2 = (up[0::2, 0::2] + up[0::2, 1::2] + up[1::2, 0::2] + up[1::2, 1::2] + 2) >> 2
+    v2 = (vp[0::2, 0::2] + vp[0::2, 1::2] + vp[1::2, 0::2] + vp[1::2, 1::2] + 2) >> 2
+    return (np.clip(y, 0, 255).astype(np.int32),
+            np.clip(u2, 0, 255).astype(np.int32),
+            np.clip(v2, 0, 255).astype(np.int32))
+
+
+def _pad_to(P: np.ndarray, hh: int, ww: int) -> np.ndarray:
+    out = np.empty((hh, ww), dtype=np.int32)
+    h, w = P.shape
+    out[:h, :w] = P
+    if hh > h:
+        out[h:, :w] = P[h - 1]
+    if ww > w:
+        out[:, w:] = out[:, w - 1 : w]
+    return out
+
+
+def encode_vp8(rgb: np.ndarray, qindex: int = 8) -> bytes:
+    """Encode HxWx3 uint8 RGB as a VP8 keyframe bitstream (see section
+    comment for the subset). qindex in [0, 127] is the y_ac quantizer
+    index; all plane deltas are zero."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
+        raise VP8Error("encode_vp8 expects HxWx3 uint8")
+    height, width = rgb.shape[:2]
+    if not (0 < width < 16384 and 0 < height < 16384):
+        raise VP8Error("dims out of range")
+    qindex = int(qindex)
+    if not 0 <= qindex <= 127:
+        raise VP8Error("qindex out of range")
+    ysrc, usrc, vsrc = _rgb_to_yuv420(rgb)
+    mb_w = (width + 15) >> 4
+    mb_h = (height + 15) >> 4
+    ysrc = _pad_to(ysrc, mb_h * 16, mb_w * 16)
+    usrc = _pad_to(usrc, mb_h * 8, mb_w * 8)
+    vsrc = _pad_to(vsrc, mb_h * 8, mb_w * 8)
+    Y = np.zeros((mb_h * 16, mb_w * 16), dtype=np.int32)
+    U = np.zeros((mb_h * 8, mb_w * 8), dtype=np.int32)
+    V = np.zeros((mb_h * 8, mb_w * 8), dtype=np.int32)
+
+    # quantizer factors — same derivation the decoder applies
+    y1_dc = DC_QLOOKUP[_clip_q(qindex)]
+    y1_ac = AC_QLOOKUP[_clip_q(qindex)]
+    y2_dc = DC_QLOOKUP[_clip_q(qindex)] * 2
+    y2_ac = max(8, (AC_QLOOKUP[_clip_q(qindex)] * 101581) >> 16)
+    uv_dc = DC_QLOOKUP[_clip_q(qindex, 117)]
+    uv_ac = AC_QLOOKUP[_clip_q(qindex)]
+    fdct, wht_f = _fwd_mats()
+    probs = COEFF_PROBS
+
+    # ---- partition 0: frame header + per-MB modes
+    b0 = _BoolWriter()
+    b0.flag(0)          # color_space
+    b0.flag(0)          # clamping_type
+    b0.flag(0)          # segmentation_enabled
+    b0.flag(0)          # filter_type (normal; level 0 disables anyway)
+    b0.literal(0, 6)    # filter_level = 0
+    b0.literal(0, 3)    # sharpness
+    b0.flag(0)          # lf_delta
+    b0.literal(0, 2)    # log2(token partitions) = 0 -> 1
+    b0.literal(qindex, 7)
+    for _ in range(5):
+        b0.flag(0)      # y_dc / y2_dc / y2_ac / uv_dc / uv_ac deltas absent
+    b0.flag(1)          # refresh_entropy_probs
+    for t in range(4):  # no coefficient-probability updates
+        for bd in range(8):
+            for c in range(3):
+                upd = COEFF_UPDATE_PROBS[t][bd][c]
+                for p in range(11):
+                    b0.put(upd[p], 0)
+    b0.flag(0)          # mb_no_coeff_skip off -> every MB carries tokens
+    ypath = _tree_path(_KF_YMODE_TREE, _DC16)
+    uvpath = _tree_path(_UV_MODE_TREE, _DC16)
+    for _ in range(mb_w * mb_h):
+        for idx, bit in ypath:
+            b0.put(_KF_YMODE_PROBS[idx], bit)
+        for idx, bit in uvpath:
+            b0.put(_KF_UV_PROBS[idx], bit)
+
+    # ---- token partition: residuals, with decoder-identical nz contexts
+    bw = _BoolWriter()
+    top_y_nz = [[0] * 4 for _ in range(mb_w)]
+    top_u_nz = [[0] * 2 for _ in range(mb_w)]
+    top_v_nz = [[0] * 2 for _ in range(mb_w)]
+    top_y2_nz = [0] * mb_w
+    for mby in range(mb_h):
+        left_y_nz = [0] * 4
+        left_u_nz = [0] * 2
+        left_v_nz = [0] * 2
+        left_y2_nz = 0
+        for mbx in range(mb_w):
+            y0, x0 = 16 * mby, 16 * mbx
+            cy0, cx0 = 8 * mby, 8 * mbx
+            coeffs = np.zeros((24, 16), dtype=np.int32)
+            lev = np.zeros((24, 16), dtype=np.int64)  # scan-order levels
+
+            # luma: forward DCT per 4x4, DCs through the forward WHT
+            above, left, tl = _ctx_block(Y, y0, x0, 16, mbx, mby)
+            pred = _pred_block16(_DC16, above, left, tl, mbx, mby, 16)
+            res = ysrc[y0 : y0 + 16, x0 : x0 + 16] - pred
+            blocks = (
+                res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
+            )
+            fc = np.rint(blocks.astype(np.float64) @ fdct.T).astype(np.int64)
+            dcs_target = fc[:, 0].copy()
+            y2 = np.rint(wht_f @ dcs_target.astype(np.float64)).astype(np.int64)
+            y2_lev = _quantize(y2, y2_dc, y2_ac)
+            dq2 = np.full(16, y2_ac, dtype=np.int64)
+            dq2[0] = y2_dc
+            dcs = _wht((y2_lev * dq2).astype(np.int32))
+            for i in range(16):
+                for zz in range(1, 16):
+                    nat = _ZIGZAG[zz]
+                    c = fc[i, nat]
+                    l_ = (abs(int(c)) + y1_ac // 2) // y1_ac
+                    if l_ > _MAX_LEVEL:
+                        l_ = _MAX_LEVEL
+                    lev[i, zz] = -l_ if c < 0 else l_
+                    coeffs[i, nat] = int(lev[i, zz]) * y1_ac
+                coeffs[i, 0] = dcs[i]
+            y2_scan = np.array([y2_lev[_ZIGZAG[z]] for z in range(16)])
+            ctx = left_y2_nz + top_y2_nz[mbx]
+            nz2 = _put_coeffs(bw, probs[1], ctx, y2_scan, 0)
+            left_y2_nz = top_y2_nz[mbx] = nz2
+            for by in range(4):
+                lf = left_y_nz[by]
+                for bx in range(4):
+                    i = 4 * by + bx
+                    ctx = lf + top_y_nz[mbx][bx]
+                    lf = _put_coeffs(bw, probs[0], ctx, lev[i], 1)
+                    top_y_nz[mbx][bx] = lf
+                left_y_nz[by] = lf
+
+            # reconstruct luma exactly as the decoder will
+            resi = _idct_batch(coeffs[:16])
+            Y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
+                pred + _blocks_to_plane(resi, 4), 0, 255
+            )
+
+            # chroma planes
+            for ch, (P, S, base, lnz, tnz) in enumerate((
+                (U, usrc, 16, left_u_nz, top_u_nz[mbx]),
+                (V, vsrc, 20, left_v_nz, top_v_nz[mbx]),
+            )):
+                above, left, tl = _ctx_block(P, cy0, cx0, 8, mbx, mby)
+                pred = _pred_block16(_DC16, above, left, tl, mbx, mby, 8)
+                res = S[cy0 : cy0 + 8, cx0 : cx0 + 8] - pred
+                blocks = (
+                    res.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3).reshape(4, 16)
+                )
+                fc = np.rint(blocks.astype(np.float64) @ fdct.T).astype(np.int64)
+                for j in range(4):
+                    i = base + j
+                    q = _quantize(fc[j], uv_dc, uv_ac)
+                    for zz in range(16):
+                        nat = _ZIGZAG[zz]
+                        lev[i, zz] = q[nat]
+                        coeffs[i, nat] = int(q[nat]) * (uv_dc if nat == 0 else uv_ac)
+                for by in range(2):
+                    lf = lnz[by]
+                    for bx in range(2):
+                        i = base + 2 * by + bx
+                        ctx = lf + tnz[bx]
+                        lf = _put_coeffs(bw, probs[2], ctx, lev[i], 0)
+                        tnz[bx] = lf
+                    lnz[by] = lf
+                resi = _idct_batch(coeffs[base : base + 4])
+                P[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(
+                    pred + _blocks_to_plane(resi, 2), 0, 255
+                )
+
+    part0 = b0.tobytes()
+    tokens = bw.tobytes()
+    tag = (1 << 4) | (len(part0) << 5)  # keyframe, version 0, show_frame
+    head = bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))
+    head += b"\x9d\x01\x2a"
+    head += bytes((width & 0xFF, (width >> 8) & 0x3F))
+    head += bytes((height & 0xFF, (height >> 8) & 0x3F))
+    return head + part0 + tokens
+
+
+def encode_webp_lossy(rgb: np.ndarray, qindex: int = 8) -> bytes:
+    """RGB -> lossy .webp file bytes (RIFF container + VP8 keyframe)."""
+    payload = encode_vp8(rgb, qindex=qindex)
+    chunk = b"VP8 " + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff

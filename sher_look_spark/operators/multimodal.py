@@ -13,8 +13,8 @@ Real vs stubbed (this container has no image/audio libraries):
     4:4:4 or 4:2:0; progressive (SOF2) stays explicitly rejected
   * webp: REAL lossless (VP8L, RFC 9649) decode/encode —
     functions/webpcodec.py (transforms, meta prefix codes, color cache,
-    LZ77); lossy VP8 streams stay explicitly rejected (a video intra-frame
-    codec is out of scope)
+    LZ77) — AND real lossy (VP8 keyframe, RFC 6386) decode + subset
+    encoder — functions/vp8codec.py, bit-exact vs libwebp in tests
   * fake video container 'vid0' (concatenated raw frames): REAL plumbing,
     deterministic content — a decodable-pixels stand-in next to mp4
   * mp4: REAL container layer (functions/mp4box.py, ISO 14496-12 box tree +

@@ -500,52 +500,145 @@ FROM events GROUP BY 1, 2, 3
 
 # ----------------------------------------------------------------- multimodal
 
+def _mm_fixture_array(d: int):
+    """The deterministic constant-color HxWx3 array for doc_id d."""
+    import numpy as np
+
+    w, h = 4 + d % 5, 3 + d % 4
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    arr[:, :, 0] = d % 256
+    arr[:, :, 1] = (2 * d) % 256
+    arr[:, :, 2] = (3 * d) % 256
+    return arr
+
+
+_MM_LOSSY_QINDEX = 4
+_MM_LOSSY_CACHE: dict = {}
+
+
+def _mm_lossy_expected() -> dict[int, tuple[float, float, float]]:
+    """Expected decoded channel means for the lossy-VP8 fixture rows
+    (doc_id % 6 == 3), computed with libwebp (ctypes, system library) as an
+    INDEPENDENT reference decoder when present; our own decoder otherwise
+    (the two are certified bit-exact in tests/test_vp8.py). A lossy-encoded
+    constant image reconstructs to a constant image (DC-only coefficients,
+    one value per plane), so per-channel means are exact integers."""
+    if _MM_LOSSY_CACHE:
+        return _MM_LOSSY_CACHE
+    import numpy as np
+
+    from sher_look_spark.functions.vp8codec import encode_webp_lossy, yuv420_to_rgb
+
+    def _decode_rgb(data: bytes) -> "np.ndarray":
+        # libwebp decodes the BITSTREAM (the part our codec could get
+        # wrong); the fixed published YUV->RGB formula is shared so ±1
+        # colorspace rounding can't masquerade as a codec diff.
+        try:
+            import ctypes
+
+            lib = ctypes.CDLL("libwebp.so.7")
+            lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+            lib.WebPDecodeYUV.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ]
+            w = ctypes.c_int()
+            h = ctypes.c_int()
+            up = ctypes.POINTER(ctypes.c_uint8)()
+            vp = ctypes.POINTER(ctypes.c_uint8)()
+            stride = ctypes.c_int()
+            uv_stride = ctypes.c_int()
+            p = lib.WebPDecodeYUV(
+                data, len(data), ctypes.byref(w), ctypes.byref(h),
+                ctypes.byref(up), ctypes.byref(vp),
+                ctypes.byref(stride), ctypes.byref(uv_stride),
+            )
+            if p:
+                cw, ch = (w.value + 1) // 2, (h.value + 1) // 2
+                y = np.ctypeslib.as_array(p, shape=(h.value, stride.value))[:, : w.value].copy()
+                u = np.ctypeslib.as_array(up, shape=(ch, uv_stride.value))[:, :cw].copy()
+                v = np.ctypeslib.as_array(vp, shape=(ch, uv_stride.value))[:, :cw].copy()
+                lib.WebPFree(p)
+                return yuv420_to_rgb(y, u, v)
+        except OSError:
+            pass
+        from sher_look_spark.functions.webpcodec import decode_webp
+
+        return decode_webp(data)
+
+    for d in range(3, 200, 6):
+        arr = _mm_fixture_array(d)
+        dec = _decode_rgb(encode_webp_lossy(arr, qindex=_MM_LOSSY_QINDEX))
+        _MM_LOSSY_CACHE[d] = (
+            float(dec[:, :, 0].mean()),
+            float(dec[:, :, 1].mean()),
+            float(dec[:, :, 2].mean()),
+        )
+    return _MM_LOSSY_CACHE
+
+
 def _synth_raw_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic constant-color images derived from doc_ids — the
-    binary-column input for the multimodal operators. doc_id % 3 == 2 rows
-    carry LOSSLESS WebP (VP8L) bytes through the real decoder
-    (functions/webpcodec.py), the rest the raw container; both decode
-    exactly, so the same SQL oracle covers the whole mix and the webp path
-    is value-certified end-to-end (mm_image_features / mm_resize_roundtrip)."""
+    binary-column input for the multimodal operators. doc_id % 6 in (0, 2)
+    rows carry LOSSLESS WebP (VP8L) bytes, doc_id % 6 == 3 rows LOSSY WebP
+    (VP8 keyframe, functions/vp8codec.py), the rest the raw container.
+    VP8L/raw decode exactly (closed-form oracle); the lossy rows' expected
+    means are computed by an independent reference decoder (libwebp) and
+    embedded in the oracle SQL (_mm_lossy_expected), so all three webp
+    paths are value-certified end-to-end."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(T.BinaryType())
     def mk(ids: pd.Series) -> pd.Series:
-        import numpy as np
-
         from sher_look_spark.crawler.imaging import encode_raw
+        from sher_look_spark.functions.vp8codec import encode_webp_lossy
         from sher_look_spark.functions.webpcodec import encode_webp_lossless
 
         out = []
         for d in ids:
-            w, h = 4 + d % 5, 3 + d % 4
-            arr = np.zeros((h, w, 3), dtype=np.uint8)
-            arr[:, :, 0] = d % 256
-            arr[:, :, 1] = (2 * d) % 256
-            arr[:, :, 2] = (3 * d) % 256
-            out.append(
-                encode_webp_lossless(arr) if d % 3 == 2 else encode_raw(arr)
-            )
+            arr = _mm_fixture_array(d)
+            if d % 3 == 2 and d % 6 != 3:
+                out.append(encode_webp_lossless(arr))
+            elif d % 6 == 3:
+                out.append(encode_webp_lossy(arr, qindex=_MM_LOSSY_QINDEX))
+            else:
+                out.append(encode_raw(arr))
         return pd.Series(out)
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return docs.select(
         F.col("doc_id").cast("string").alias("image_id"),
         mk("doc_id").alias("bytes"),
-        F.when(F.col("doc_id") % 3 == 2, F.lit("webp"))
+        F.when((F.col("doc_id") % 3 == 2) | (F.col("doc_id") % 6 == 3), F.lit("webp"))
         .otherwise(F.lit("raw"))
         .alias("fmt"),
     )
 
 
-SQL_MM_FEATURES = """
+def _sql_mm_lossy_values() -> str:
+    rows = ", ".join(
+        f"({d}, {mr!r}::DOUBLE, {mg!r}::DOUBLE, {mb!r}::DOUBLE)"
+        for d, (mr, mg, mb) in sorted(_mm_lossy_expected().items())
+    )
+    return f"lossy(did, mr, mg, mb) AS (VALUES {rows})"
+
+
+def sql_mm_features() -> str:
+    """Oracle for mm_image_features: closed form for raw/VP8L rows, libwebp
+    reference-decoded means for the lossy VP8 rows (still constant images,
+    so std_gray stays 0 and w/h are the container dims)."""
+    return f"""
+WITH {_sql_mm_lossy_values()}
 SELECT doc_id::VARCHAR AS image_id,
        (4 + doc_id % 5)::INT AS w, (3 + doc_id % 4)::INT AS h,
-       (doc_id % 256)::DOUBLE AS mean_r,
-       ((2 * doc_id) % 256)::DOUBLE AS mean_g,
-       ((3 * doc_id) % 256)::DOUBLE AS mean_b,
+       COALESCE(l.mr, (doc_id % 256)::DOUBLE) AS mean_r,
+       COALESCE(l.mg, ((2 * doc_id) % 256)::DOUBLE) AS mean_g,
+       COALESCE(l.mb, ((3 * doc_id) % 256)::DOUBLE) AS mean_b,
        0.0::DOUBLE AS std_gray
-FROM documents WHERE doc_id < 200
+FROM documents LEFT JOIN lossy l ON doc_id = l.did WHERE doc_id < 200
 """
 
 
@@ -569,12 +662,17 @@ def q_mm_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("image_id", "w", "h", "mean_r", "mean_g", "mean_b")
 
 
-SQL_MM_RESIZE = """
+def sql_mm_resize() -> str:
+    """Oracle for mm_resize_roundtrip: constant pixels survive the
+    nearest-neighbor resize and PNG roundtrip exactly, including the lossy
+    rows (their decode is a constant image too — see _mm_lossy_expected)."""
+    return f"""
+WITH {_sql_mm_lossy_values()}
 SELECT doc_id::VARCHAR AS image_id, 3 AS w, 2 AS h,
-       (doc_id % 256)::DOUBLE AS mean_r,
-       ((2 * doc_id) % 256)::DOUBLE AS mean_g,
-       ((3 * doc_id) % 256)::DOUBLE AS mean_b
-FROM documents WHERE doc_id < 200
+       COALESCE(l.mr, (doc_id % 256)::DOUBLE) AS mean_r,
+       COALESCE(l.mg, ((2 * doc_id) % 256)::DOUBLE) AS mean_g,
+       COALESCE(l.mb, ((3 * doc_id) % 256)::DOUBLE) AS mean_b
+FROM documents LEFT JOIN lossy l ON doc_id = l.did WHERE doc_id < 200
 """
 
 
@@ -1856,8 +1954,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": sql_text_quality(),
         "text_fingerprint": sql_text_fingerprint(),
         "stream_windowed_counts": SQL_STREAM_WINDOWED,
-        "mm_image_features": SQL_MM_FEATURES,
-        "mm_resize_roundtrip": SQL_MM_RESIZE,
+        "mm_image_features": sql_mm_features(),
+        "mm_resize_roundtrip": sql_mm_resize(),
         "mm_frame_sample": SQL_MM_FRAMES,
         "mm_jpeg_roundtrip": sql_mm_jpeg(),
     }

@@ -51,14 +51,16 @@ def test_decode_image_dispatch_and_stub():
         raise AssertionError("expected ValueError for malformed jpeg")
     except ValueError:
         pass
-    # webp now routes to the real VP8L decoder (functions/webpcodec.py):
-    # lossless round-trips; a headerless RIFF is a clean ValueError; a LOSSY
-    # VP8 chunk remains an explicit NotImplementedError
+    # webp routes to the real codecs: VP8L lossless round-trips, lossy VP8
+    # decodes (functions/vp8codec.py); a headerless RIFF and an empty VP8
+    # payload are clean typed ValueErrors
     import struct
 
+    from sher_look_spark.functions.vp8codec import VP8Error, encode_webp_lossy
     from sher_look_spark.functions.webpcodec import encode_webp_lossless
 
     assert np.array_equal(decode_image(encode_webp_lossless(arr), "webp"), arr)
+    assert decode_image(encode_webp_lossy(arr, qindex=4), "webp").shape == arr.shape
     try:
         decode_image(b"RIFF....WEBP", "webp")
         raise AssertionError("expected ValueError for chunkless webp")
@@ -67,8 +69,8 @@ def test_decode_image_dispatch_and_stub():
     lossy = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + struct.pack("<I", 0)
     try:
         decode_image(lossy, "webp")
-        raise AssertionError("expected NotImplementedError for lossy VP8")
-    except NotImplementedError:
+        raise AssertionError("expected VP8Error for empty VP8 payload")
+    except VP8Error:
         pass
 
 

@@ -161,9 +161,14 @@ def test_imaging_reject_set():
     data[j + 1] = 0xC9
     with pytest.raises(NotImplementedError, match="SOF"):
         decode_jpeg(bytes(data))
-    # 3. WebP lossy (VP8 intra-frame)
+    # 3. WebP lossy (VP8) now DECODES (functions/vp8codec.py); a garbage
+    # VP8 chunk raises the typed codec error, not NotImplementedError
+    from sher_look_spark.functions.vp8codec import VP8Error, encode_webp_lossy
+
+    img = np.full((5, 6, 3), 77, dtype=np.uint8)
+    assert decode_image(encode_webp_lossy(img, qindex=4), "webp").shape == (5, 6, 3)
     vp8 = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
-    with pytest.raises(NotImplementedError, match="VP8"):
+    with pytest.raises(VP8Error):
         decode_image(vp8, "webp")
     # 4. unknown container formats (gif/avif/mp3/mp4 route here)
     for fmt in ("gif", "avif", "mp3", "mp4"):

@@ -93,9 +93,12 @@ def test_riff_structure_and_rejections():
     assert data[:4] == b"RIFF" and data[8:12] == b"WEBP" and data[12:16] == b"VP8L"
     with pytest.raises(ValueError):
         decode_webp(b"JUNKJUNKJUNKJUNK")
-    # lossy VP8 chunk is an explicit boundary
+    # lossy VP8 chunks dispatch to functions/vp8codec.py; an empty payload
+    # raises its typed error (decode itself is covered in tests/test_vp8.py)
+    from sher_look_spark.functions.vp8codec import VP8Error
+
     lossy = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + struct.pack("<I", 0)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(VP8Error):
         decode_webp(lossy)
 
 
