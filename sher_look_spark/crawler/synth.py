@@ -49,6 +49,12 @@ class SynthWebConfig:
     # cj % jpeg_every == 0 — web-realistic payload mix through the real
     # baseline codec; 0 disables (keeps pre-existing fixtures byte-stable)
     jpeg_every: int = 0
+    # page (ci, cj) serves a WebP when cj % webp_every == 1 (offset 1 so
+    # the jpeg and webp classes never collide): lossy VP8 (vp8codec.py)
+    # at >=32 px, VP8L lossless below (the 4:2:0 chroma floor of the lossy
+    # format cannot hold the PSNR>=40 contract on couple-of-block images —
+    # real web encoders special-case tiny graphics the same way)
+    webp_every: int = 0
 
 
 class FetchResult(NamedTuple):
@@ -203,7 +209,8 @@ def page_image_array(cfg: SynthWebConfig, ci: int, cj: int) -> tuple[np.ndarray,
     span = cfg.img_max - cfg.img_min + 1
     w = cfg.img_min + int(rng.integers(span))
     h = cfg.img_min + int(rng.integers(span))
-    if cfg.jpeg_every and cj % cfg.jpeg_every == 0:
+    is_webp = cfg.webp_every and cj % cfg.webp_every == 1
+    if (cfg.jpeg_every and cj % cfg.jpeg_every == 0) or is_webp:
         # smooth half-period 2-D gradients: web-photo-like low-frequency
         # content that survives the lossy codec at PSNR > 40 dB even when
         # the whole image is a couple of 8x8 blocks (full-period harmonics
@@ -217,7 +224,8 @@ def page_image_array(cfg: SynthWebConfig, ci: int, cj: int) -> tuple[np.ndarray,
                 128.0 + 45.0 * np.sin(2 * np.pi * (y / (2 * h) + py))
                 * np.cos(2 * np.pi * (x / (2 * w) + px))
             )
-        return np.clip(np.floor(np.stack(chans, axis=-1)), 0, 255).astype(np.uint8), "jpeg"
+        arr = np.clip(np.floor(np.stack(chans, axis=-1)), 0, 255).astype(np.uint8)
+        return arr, ("webp" if is_webp else "jpeg")
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8), "png"
 
 
@@ -236,6 +244,22 @@ def page_image(cfg: SynthWebConfig, ci: int, cj: int) -> tuple[bytes, int, int, 
         data = encode_jpeg(arr, quality=93, subsampling=sub)
         # metadata (phash) describes the PAYLOAD as stored, i.e. post-codec
         arr = decode_jpeg(data)
+    elif fmt == "webp":
+        from sher_look_spark.functions.vp8codec import encode_webp_lossy
+        from sher_look_spark.functions.webpcodec import (
+            decode_webp,
+            encode_webp_lossless,
+        )
+
+        # lossy VP8 where the 4:2:0 format can hold PSNR>=40 on this
+        # content (qindex 4: worst case ~40.5 dB at 32 px, rising with
+        # size); VP8L lossless for tiny graphics — same fmt, the decoder
+        # dispatches on the container chunk
+        if min(h, w) >= 32:
+            data = encode_webp_lossy(arr, qindex=4)
+            arr = decode_webp(data)
+        else:
+            data = encode_webp_lossless(arr)
     else:
         data = encode_png(arr)
     caption = f"img host{ci} page{cj} " + " ".join(_words(cfg, "cap", ci, cj, 4))

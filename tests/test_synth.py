@@ -54,3 +54,37 @@ def test_seed_urls_shape():
     assert all(normalize_url(s) for s in seeds)
     # last seed is a messy duplicate of seed 0
     assert normalize_url(seeds[-1]) == normalize_url(seeds[0])
+
+
+def test_webp_payload_class_fidelity():
+    """webp_every pages serve real WebP bytes: lossy VP8 at >=32 px
+    (PSNR >= 40 vs the pre-encode reference pixels), VP8L lossless below;
+    phash/metadata describe the payload as stored (post-codec)."""
+    from sher_look_spark.crawler.imaging import decode_image, phash64, psnr
+
+    cfg = synth.SynthWebConfig(
+        n_hosts=4, pages_per_host=12, seed=7, webp_every=3,
+        img_min=16, img_max=64, timeout_pct=0,
+    )
+    seen_lossy = seen_lossless = 0
+    for ci in range(cfg.n_hosts):
+        for cj in range(cfg.pages_per_host):
+            data, w, h, fmt, _cap, ph = synth.page_image(cfg, ci, cj)
+            want_webp = cj % 3 == 1
+            assert (fmt == "webp") == want_webp
+            if not want_webp:
+                continue
+            assert data[:4] == b"RIFF" and data[8:12] == b"WEBP"
+            ref, _ = synth.page_image_array(cfg, ci, cj)
+            got = decode_image(data, "webp")
+            assert got.shape == (h, w, 3)
+            assert phash64(got) == ph  # metadata matches stored payload
+            if data[12:16] == b"VP8 ":
+                seen_lossy += 1
+                assert min(h, w) >= 32
+                assert psnr(ref, got) >= 40.0
+            else:
+                seen_lossless += 1
+                assert data[12:16] == b"VP8L"
+                assert (got == ref).all()
+    assert seen_lossy and seen_lossless  # both subclasses exercised
