@@ -16,9 +16,10 @@ JPEG uses — plus single-component (grayscale) frames; chroma upsampling is
 the classic triangular ("fancy") filter, exact on constant planes. Scan
 components map to planes by SOF component id, not scan position, so a
 conformant stream whose SOS lists components in an unusual order still
-decodes with correct channels. Arithmetic coding, nonzero restart
-intervals, hierarchical/lossless modes and 16-bit quant tables are
-rejected explicitly.
+decodes with correct channels. Restart intervals (DRI + RST0-7) decode in
+every scan kind and can be emitted by both encoders. Arithmetic coding,
+hierarchical/lossless modes and 16-bit quant tables are rejected
+explicitly.
 
 All block math is vectorized numpy (the per-batch path under
 operators.multimodal's mapInPandas); only the entropy coder walks symbols in
@@ -375,13 +376,17 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "444",
     scan_order: tuple[int, int, int] = (1, 2, 3),
+    restart_interval: int = 0,
 ) -> bytes:
     """HxWx3 uint8 RGB -> baseline JFIF bytes.
 
     ``subsampling``: "444" (1x1x1) or "420" (Y 2x2, chroma box-averaged 2x2
     — what real web encoders emit). ``scan_order``: component-id order in
     the SOS/entropy stream (non-default orders are conformant streams used
-    to test decoder cid mapping)."""
+    to test decoder cid mapping). ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every that-many MCUs with DC-predictor resets
+    (T.81 E.1.4) — the error-resilience layout camera firmware and many
+    web encoders produce."""
     if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("expected HxWx3 uint8 array")
     if subsampling not in ("444", "420"):
@@ -400,8 +405,15 @@ def encode_jpeg(
     bw = _BitWriter()
     pred = [0, 0, 0]
     mcuy, mcux = comps[2].shape[:2]  # chroma block grid == MCU grid
+    mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()  # byte-align with 1-fill before the marker
+                n = (mcu // restart_interval - 1) % 8
+                bw.out += bytes((0xFF, 0xD0 + n))
+                pred = [0, 0, 0]
+            mcu += 1
             for cid in scan_order:
                 c = cid - 1
                 t = 0 if c == 0 else 1
@@ -420,6 +432,8 @@ def encode_jpeg(
 
     samp = [0x22, 0x11, 0x11] if sub else [0x11, 0x11, 0x11]
     out = _frame_headers(h, w, qt, samp, 0xC0)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([3]) + b"".join(
         bytes([cid, 0x00 if cid == 1 else 0x11]) for cid in scan_order
     ) + bytes([0, 63, 0])
@@ -430,7 +444,8 @@ def encode_jpeg(
 
 
 def encode_jpeg_progressive(
-    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+    arr: np.ndarray, quality: int = 90, subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """HxWx3 uint8 RGB -> progressive JFIF bytes (SOF2, T.81 Annex G).
 
@@ -442,7 +457,11 @@ def encode_jpeg_progressive(
          buffered-bit EOB runs, ZRL)
     The final Al=0 scans restore every quantized coefficient exactly, so
     decoded pixels are bit-identical to ``encode_jpeg`` at the same quality
-    and subsampling."""
+    and subsampling. ``restart_interval`` > 0 applies T.81 E.1.4 restarts
+    to the DC-first and AC-first scans (predictor/EOB-run reset + RSTn),
+    with a DRI 0 re-declaration ahead of the refinement scans — a
+    conformant mid-stream interval change that exercises the decoder's
+    per-scan DRI tracking."""
     if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("expected HxWx3 uint8 array")
     if subsampling not in ("444", "420"):
@@ -459,16 +478,17 @@ def encode_jpeg_progressive(
     hmax = vmax = 2 if sub else 1
 
     def mcu_blocks():
-        """(component, zigzag block) in interleaved MCU order (DC scans)."""
+        """(mcu, component, zigzag block) in interleaved MCU order."""
         for my in range(mcuy):
             for mx in range(mcux):
+                mcu = my * mcux + mx
                 for c in range(3):
                     if sub and c == 0:
                         for v in (0, 1):
                             for u in (0, 1):
-                                yield c, comps[0][2 * my + v, 2 * mx + u]
+                                yield mcu, c, comps[0][2 * my + v, 2 * mx + u]
                     else:
-                        yield c, comps[c][my, mx]
+                        yield mcu, c, comps[c][my, mx]
 
     def comp_true_dims(c: int) -> tuple[int, int]:
         """Non-interleaved block dims: ceil of the component's OWN sample
@@ -476,12 +496,22 @@ def encode_jpeg_progressive(
         hi = vi = 2 if (sub and c == 0) else 1
         return -(-(-(-h * vi // vmax)) // 8), -(-(-(-w * hi // hmax)) // 8)
 
-    scans: list[tuple[bytes, bytes]] = []  # (SOS header body, entropy bytes)
+    ri = restart_interval
+    scans: list[tuple[bytes, bytes, int]] = []  # (SOS body, entropy, scan DRI)
+
+    def emit_rst(bw: _BitWriter, n_rst: int) -> None:
+        bw.flush()
+        bw.out += bytes((0xFF, 0xD0 + n_rst % 8))
 
     # ---- scan 1: DC first (interleaved, Al=1) -----------------------------
     bw = _BitWriter()
     pred = [0, 0, 0]
-    for c, zz in mcu_blocks():
+    next_rst = ri
+    for mcu, c, zz in mcu_blocks():
+        if ri and mcu == next_rst:
+            emit_rst(bw, mcu // ri - 1)
+            pred = [0, 0, 0]
+            next_rst += ri
         t = 0 if c == 0 else 1
         v = int(zz[0]) >> 1  # point transform (arithmetic shift, G.1.2.1)
         size, bits = _magnitude(v - pred[c])
@@ -494,17 +524,17 @@ def encode_jpeg_progressive(
     hdr = bytes([3]) + b"".join(
         bytes([cid, 0x00 if cid == 1 else 0x10]) for cid in (1, 2, 3)
     ) + bytes([0, 0, 0x01])  # Ss=0 Se=0 Ah=0 Al=1
-    scans.append((hdr, bytes(bw.out)))
+    scans.append((hdr, bytes(bw.out), ri))
 
     # ---- scan 2: DC refinement (interleaved, Ah=1 -> Al=0, raw bits) ------
     bw = _BitWriter()
-    for _c, zz in mcu_blocks():
+    for _mcu, _c, zz in mcu_blocks():
         bw.write(int(zz[0]) & 1, 1)
     bw.flush()
     hdr = bytes([3]) + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3)) + bytes(
         [0, 0, 0x10]
     )  # Ah=1 Al=0
-    scans.append((hdr, bytes(bw.out)))
+    scans.append((hdr, bytes(bw.out), 0))
 
     # ---- scans 3..5: AC first per component (Ss=1..63, Al=1) --------------
     for c in range(3):
@@ -523,8 +553,15 @@ def encode_jpeg_progressive(
                     bw.write(eobrun - (1 << g), g)
                 eobrun = 0
 
+        mcu = 0  # non-interleaved scan: each block is one MCU (E.1.4)
+        next_rst = ri
         for by in range(nby):
             for bx in range(nbx):
+                if ri and mcu == next_rst:
+                    flush_eobrun()
+                    emit_rst(bw, mcu // ri - 1)
+                    next_rst += ri
+                mcu += 1
                 zz = comps[c][by, bx]
                 r = 0
                 for k in range(1, 64):
@@ -550,7 +587,7 @@ def encode_jpeg_progressive(
         flush_eobrun()
         bw.flush()
         hdr = bytes([1, c + 1, 0x00]) + bytes([1, 63, 0x01])  # Ta=0, Ah=0 Al=1
-        scans.append((hdr, bytes(bw.out)))
+        scans.append((hdr, bytes(bw.out), ri))
 
     # ---- scans 6..8: AC refinement per component (Ah=1 -> Al=0) -----------
     ah, al = 1, 0
@@ -620,7 +657,7 @@ def encode_jpeg_progressive(
         flush_eobrun_refine()
         bw.flush()
         hdr = bytes([1, c + 1, 0x00]) + bytes([1, 63, 0x10])  # Ta=0, Ah=1 Al=0
-        scans.append((hdr, bytes(bw.out)))
+        scans.append((hdr, bytes(bw.out), 0))
 
     samp = [0x22, 0x11, 0x11] if sub else [0x11, 0x11, 0x11]
     out = _frame_headers(
@@ -631,7 +668,11 @@ def encode_jpeg_progressive(
             (1, 0, PROG_AC_BITS, PROG_AC_VALS),
         ),
     )
-    for hdr, entropy in scans:
+    cur_dri = 0
+    for hdr, entropy, scan_ri in scans:
+        if scan_ri != cur_dri:
+            out += b"\xff\xdd" + struct.pack(">HH", 4, scan_ri)
+            cur_dri = scan_ri
         out += b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr + entropy
     out += b"\xff\xd9"
     return bytes(out)
@@ -704,6 +745,25 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def restart(self) -> None:
+        """Byte-align and consume the RSTn marker at a restart boundary
+        (T.81 E.1.4): padding bits are discarded, the marker's modulo-8
+        sequence number is not load-bearing for reconstruction."""
+        self.nbits = 0
+        while (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1  # fill bytes
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected restart marker at interval boundary")
+        self.pos += 2
+
 
 def _decode_tree(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     """(length, code) -> symbol lookup."""
@@ -734,11 +794,11 @@ def _extend(v: int, size: int) -> int:
         return 0
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
-def _next_marker(data: bytes, pos: int) -> int:
+def _next_marker(data: bytes, pos: int, skip_rst: bool = False) -> int:
     """Index of the next marker (0xFF + nonzero code) at/after ``pos``,
-    skipping entropy bytes, 0xFF00 stuffing and 0xFF fill bytes. Restart
-    markers (RST0-7) inside entropy data are rejected — the codec refuses
-    nonzero DRI up front, so meeting one here means a malformed stream."""
+    skipping entropy bytes, 0xFF00 stuffing and 0xFF fill bytes. With
+    ``skip_rst`` (a nonzero DRI is active) restart markers RST0-7 are part
+    of the entropy segment and skipped; without it they are malformed."""
     i = pos
     n = len(data)
     while i < n - 1:
@@ -753,18 +813,22 @@ def _next_marker(data: bytes, pos: int) -> int:
             i += 1
             continue
         if 0xD0 <= nxt <= 0xD7:
-            raise NotImplementedError("restart markers unsupported")
+            if skip_rst:
+                i += 2
+                continue
+            raise ValueError("unexpected restart marker (DRI is zero)")
         return i
     raise ValueError("ran off stream looking for a marker")
 
 
 def _scan_block_order(scan_spec, spec_by_cid, w, h, hmax, vmax, n_frame_comps):
-    """Yield (cid, by, bx) in entropy order for one scan.
+    """Yield (mcu, cid, by, bx) in entropy order for one scan.
 
     Interleaved scans (ns > 1) walk MCUs with hi x vi blocks per component
     (T.81 A.2.3). Single-component scans walk the component's OWN block
     raster ceil(cw/8) x ceil(ch/8) WITHOUT MCU padding (A.2.2) — the rule
-    both multi-scan sequential and every progressive AC scan use."""
+    both multi-scan sequential and every progressive AC scan use; there
+    each block is its own MCU (the restart-interval unit, E.1.4)."""
     if len(scan_spec) == 1:
         cid = scan_spec[0][0]
         hi, vi, _ = spec_by_cid[cid]
@@ -774,23 +838,35 @@ def _scan_block_order(scan_spec, spec_by_cid, w, h, hmax, vmax, n_frame_comps):
             hm, vm = hmax, vmax
         cw = -(-w * hi // hm)
         ch = -(-h * vi // vm)
+        mcu = 0
         for by in range(-(-ch // 8)):
             for bx in range(-(-cw // 8)):
-                yield cid, by, bx
+                yield mcu, cid, by, bx
+                mcu += 1
     else:
+        mcux = -(-w // (8 * hmax))
         for my in range(-(-h // (8 * vmax))):
-            for mx in range(-(-w // (8 * hmax))):
+            for mx in range(mcux):
+                mcu = my * mcux + mx
                 for cid, _, _ in scan_spec:
                     hi, vi, _ = spec_by_cid[cid]
                     for v in range(vi):
                         for u in range(hi):
-                            yield cid, my * vi + v, mx * hi + u
+                            yield mcu, cid, my * vi + v, mx * hi + u
 
 
-def _scan_sequential(br, blocks, store, dtrees, atrees, pred) -> None:
+def _scan_sequential(br, blocks, store, dtrees, atrees, pred, ri=0) -> None:
     """Full-block sequential scan (baseline, interleaved or not): DC diff +
-    AC run/size per block, written into the zigzag coefficient store."""
-    for cid, by, bx in blocks:
+    AC run/size per block, written into the zigzag coefficient store. With
+    a nonzero restart interval ``ri`` (in MCUs), every boundary byte-aligns
+    onto an RSTn marker and resets the DC predictors (T.81 E.1.4)."""
+    next_rst = ri
+    for mcu, cid, by, bx in blocks:
+        if ri and mcu == next_rst:
+            br.restart()
+            for c in pred:
+                pred[c] = 0
+            next_rst += ri
         zz = store[cid][by, bx]
         size = _read_symbol(br, dtrees[cid])
         pred[cid] += _extend(br.read_bits(size), size)
@@ -811,29 +887,45 @@ def _scan_sequential(br, blocks, store, dtrees, atrees, pred) -> None:
             k += 1
 
 
-def _scan_dc_first(br, blocks, store, dtrees, pred, al) -> None:
+def _scan_dc_first(br, blocks, store, dtrees, pred, al, ri=0) -> None:
     """Progressive DC first scan (T.81 G.2): the point-transformed DC value
     is diff-coded exactly like baseline, reconstructed at magnitude << Al."""
-    for cid, by, bx in blocks:
+    next_rst = ri
+    for mcu, cid, by, bx in blocks:
+        if ri and mcu == next_rst:
+            br.restart()
+            for c in pred:
+                pred[c] = 0
+            next_rst += ri
         size = _read_symbol(br, dtrees[cid])
         pred[cid] += _extend(br.read_bits(size), size)
         store[cid][by, bx, 0] = pred[cid] << al
 
 
-def _scan_dc_refine(br, blocks, store, al) -> None:
+def _scan_dc_refine(br, blocks, store, al, ri=0) -> None:
     """Progressive DC refinement: one raw bit per block ORed in at Al
     (two's-complement OR is correct for negative DC values, G.1.2.1)."""
-    for cid, by, bx in blocks:
+    next_rst = ri
+    for mcu, cid, by, bx in blocks:
+        if ri and mcu == next_rst:
+            br.restart()
+            next_rst += ri
         if br.read_bit():
             store[cid][by, bx, 0] |= 1 << al
 
 
-def _scan_ac_first(br, blocks, store, atree, ss, se, al) -> None:
+def _scan_ac_first(br, blocks, store, atree, ss, se, al, ri=0) -> None:
     """Progressive AC first scan (G.1.2.2): run/size coding of the
     point-transformed band Ss..Se with EOB-run symbols (r<15, size 0:
-    EOBRUN = 2^r - 1 + r extension bits MORE blocks end here)."""
+    EOBRUN = 2^r - 1 + r extension bits MORE blocks end here). Restart
+    boundaries reset the EOB run (E.1.4 applies to all scan state)."""
     eobrun = 0
-    for cid, by, bx in blocks:
+    next_rst = ri
+    for mcu, cid, by, bx in blocks:
+        if ri and mcu == next_rst:
+            br.restart()
+            eobrun = 0
+            next_rst += ri
         if eobrun > 0:
             eobrun -= 1
             continue
@@ -857,7 +949,7 @@ def _scan_ac_first(br, blocks, store, atree, ss, se, al) -> None:
             k += 1
 
 
-def _scan_ac_refine(br, blocks, store, atree, ss, se, al) -> None:
+def _scan_ac_refine(br, blocks, store, atree, ss, se, al, ri=0) -> None:
     """Progressive AC refinement (G.1.2.3): newly-significant coefficients
     arrive as run-length symbols with size 1 (value ±1 << Al); every
     already-nonzero coefficient passed over contributes one correction bit
@@ -866,7 +958,12 @@ def _scan_ac_refine(br, blocks, store, atree, ss, se, al) -> None:
     p1 = 1 << al
     m1 = -(1 << al)
     eobrun = 0
-    for cid, by, bx in blocks:
+    next_rst = ri
+    for mcu, cid, by, bx in blocks:
+        if ri and mcu == next_rst:
+            br.restart()
+            eobrun = 0
+            next_rst += ri
         zz = store[cid][by, bx]
         k = ss
         if eobrun == 0:
@@ -920,8 +1017,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     (4:4:4 / 4:2:0 / 4:2:2 / 4:4:0) and single-component grayscale frames;
     chroma upsampled by the triangular filter. Planes are assigned by SOF
     component id (JFIF order Y, Cb, Cr), looked up from the scan's cid —
-    NOT by scan position. Arithmetic coding, nonzero restart intervals,
-    hierarchical/lossless modes and 16-bit quant tables stay rejected."""
+    NOT by scan position. Restart intervals (DRI + RST0-7, T.81 E.1.4)
+    are handled in every scan kind. Arithmetic coding, hierarchical/
+    lossless modes and 16-bit quant tables stay rejected."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -929,6 +1027,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     htrees: dict[tuple[int, int], dict] = {}
     h = w = None
     progressive = False
+    restart_interval = 0
     comp_spec: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq) SOF order
     spec_by_cid: dict[int, tuple[int, int, int]] = {}
     store: dict[int, np.ndarray] = {}  # cid -> (nby, nbx, 64) zigzag int32
@@ -996,10 +1095,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 "only sequential (SOF0/SOF1) and progressive (SOF2) Huffman "
                 "frames supported"
             )
-        elif marker == 0xDD:  # DRI — interval 0 just disables restarts
-            (interval,) = struct.unpack(">H", seg[:2])
-            if interval != 0:
-                raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI — restart interval in MCUs (0 disables)
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — decode this scan's entropy segment now
             if not comp_spec:
                 raise ValueError("SOS before SOF")
@@ -1014,7 +1111,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             a = seg[3 + 2 * ns]
             ah, al = a >> 4, a & 0x0F
             entropy_start = pos + seglen
-            end = _next_marker(data, entropy_start)
+            ri = restart_interval
+            end = _next_marker(data, entropy_start, skip_rst=ri > 0)
             br = _BitReader(data[entropy_start:end])
             blocks = _scan_block_order(
                 scan_spec, spec_by_cid, w, h, hmax, vmax, len(comp_spec)
@@ -1023,24 +1121,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 dtrees = {cid: htrees[(0, td)] for cid, td, _ in scan_spec}
                 atrees = {cid: htrees[(1, ta)] for cid, _, ta in scan_spec}
                 pred = {cid: 0 for cid, _, _ in scan_spec}
-                _scan_sequential(br, blocks, store, dtrees, atrees, pred)
+                _scan_sequential(br, blocks, store, dtrees, atrees, pred, ri)
             elif ss == 0:  # DC scan
                 if se != 0:
                     raise ValueError("progressive DC scan requires Se=0")
                 if ah == 0:
                     dtrees = {cid: htrees[(0, td)] for cid, td, _ in scan_spec}
                     pred = {cid: 0 for cid, _, _ in scan_spec}
-                    _scan_dc_first(br, blocks, store, dtrees, pred, al)
+                    _scan_dc_first(br, blocks, store, dtrees, pred, al, ri)
                 else:
-                    _scan_dc_refine(br, blocks, store, al)
+                    _scan_dc_refine(br, blocks, store, al, ri)
             else:  # AC scan
                 if len(scan_spec) != 1:
                     raise ValueError("progressive AC scans carry one component")
                 atree = htrees[(1, scan_spec[0][2])]
                 if ah == 0:
-                    _scan_ac_first(br, blocks, store, atree, ss, se, al)
+                    _scan_ac_first(br, blocks, store, atree, ss, se, al, ri)
                 else:
-                    _scan_ac_refine(br, blocks, store, atree, ss, se, al)
+                    _scan_ac_refine(br, blocks, store, atree, ss, se, al, ri)
             got_scan = True
             pos = end
             continue

@@ -7,10 +7,10 @@ feature extraction, video frame sampling.
 
 Real vs stubbed (this container has no image/audio libraries):
   * png / raw containers: REAL decode/encode (crawler/imaging.py)
-  * jpeg: REAL baseline decode/encode — pure-numpy T.81 codec
-    (functions/jpegcodec.py); decode covers the sampling layouts real
-    crawls see (4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 + grayscale), encode writes
-    4:4:4 or 4:2:0; progressive (SOF2) stays explicitly rejected
+  * jpeg: REAL decode/encode — pure-numpy T.81 codec
+    (functions/jpegcodec.py): baseline + progressive (SOF2), every
+    1-2x1-2 sampling layout + grayscale, multi-scan, restart intervals;
+    arithmetic coding is the explicit reject boundary
   * webp: REAL lossless (VP8L, RFC 9649) decode/encode —
     functions/webpcodec.py (transforms, meta prefix codes, color cache,
     LZ77) — AND real lossy (VP8 keyframe, RFC 6386) decode + subset

@@ -275,3 +275,61 @@ def test_synth_web_serves_420_for_web_sized_images():
     data2, *_ = synth.page_image(web_small, 0, 0)
     i2 = data2.find(b"\xff\xc0")
     assert data2[i2 + 11] == 0x11
+
+
+def test_restart_interval_roundtrip_equals_no_restart():
+    """DRI + RSTn markers segment the entropy stream without changing the
+    reconstruction: decode(encode(ri=k)) must equal decode(encode()) for
+    every sampling, including ri values that slice mid-MCU-row. A decoder
+    that failed to reset DC predictors or re-align at markers diverges."""
+    from sher_look_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    for (h, w), sub, ri in [
+        ((40, 56), "444", 1), ((40, 56), "420", 2), ((57, 63), "444", 5),
+        ((57, 63), "420", 3), ((16, 16), "444", 100),  # ri > MCU count
+    ]:
+        yy, xx = np.mgrid[0:h, 0:w].astype(float)
+        img = np.clip(
+            np.stack([128 + 60 * np.sin(xx / 9), (xx + 2 * yy) % 256,
+                      255 - (yy * 3) % 256], -1)
+            + rng.normal(0, 8, (h, w, 3)), 0, 255).astype(np.uint8)
+        plain = encode_jpeg(img, 85, subsampling=sub)
+        rst = encode_jpeg(img, 85, subsampling=sub, restart_interval=ri)
+        assert b"\xff\xdd" in rst
+        assert np.array_equal(decode_jpeg(plain), decode_jpeg(rst))
+
+
+def test_progressive_restart_interval_matches_baseline():
+    """Progressive scans with restarts (DC-first + AC-first restart-aware,
+    refinement scans under a mid-stream DRI 0 re-declaration) reconstruct
+    bit-identical to the plain baseline encoding."""
+    from sher_look_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(23))
+    for (h, w), sub, ri in [((40, 56), "444", 3), ((57, 63), "420", 2)]:
+        yy, xx = np.mgrid[0:h, 0:w].astype(float)
+        img = np.clip(
+            np.stack([120 + 70 * np.cos(yy / 11), (3 * xx) % 256,
+                      (xx * yy / 7) % 256], -1)
+            + rng.normal(0, 6, (h, w, 3)), 0, 255).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, 85, subsampling=sub))
+        prog = encode_jpeg_progressive(img, 85, subsampling=sub, restart_interval=ri)
+        # DRI changes: ri (DC first) -> 0 (DC refine) -> ri (AC first) -> 0
+        assert prog.count(b"\xff\xdd") == 4
+        assert np.array_equal(base, decode_jpeg(prog))
+
+
+def test_missing_restart_marker_is_malformed():
+    from sher_look_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    data = bytearray(encode_jpeg(img, 85, restart_interval=1))
+    i = bytes(data).find(b"\xff\xd0")
+    assert i > 0
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(bytes(data[:i] + data[i + 2:]))

@@ -146,15 +146,19 @@ def test_imaging_reject_set():
 
     arr = np.full((16, 16, 3), 90, np.uint8)
 
-    # ✅ baseline, progressive, multi-scan covered by test_jpeg; webp VP8L by
-    # test_webp; png/raw by the roundtrip tests above. ❌ classes:
-    # 1. JPEG nonzero restart interval (DRI)
+    # ✅ baseline, progressive, multi-scan, restart intervals covered by
+    # test_jpeg; webp VP8L by test_webp; png/raw by the roundtrip tests
+    # above. ❌ classes:
+    # 1. JPEG restart intervals now DECODE; a DRI that promises restarts a
+    # marker-less stream can't deliver is a typed ValueError (malformed),
+    # not a silent wrong-pixels decode
     data = bytearray(encode_jpeg(arr, 90))
     i = bytes(data).find(b"\xff\xda")
-    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 8)
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 1)
     data[i:i] = dri
-    with pytest.raises(NotImplementedError, match="restart"):
+    with pytest.raises(ValueError, match="restart"):
         decode_jpeg(bytes(data))
+    assert decode_jpeg(encode_jpeg(arr, 90, restart_interval=1)).shape == (16, 16, 3)
     # 2. JPEG arithmetic coding (SOF9)
     data = bytearray(encode_jpeg(arr, 90))
     j = bytes(data).find(b"\xff\xc0")
