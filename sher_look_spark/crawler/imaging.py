@@ -107,6 +107,12 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         from sher_look_spark.functions.webpcodec import decode_webp
 
         return decode_webp(bytes(data), max_pixels=1 << 20)
+    if fmt == "gif":
+        # GIF 87a/89a (functions/gifcodec.py): first frame for the image
+        # tier; animated streams expose all frames via sample_frames
+        from sher_look_spark.functions.gifcodec import decode_gif
+
+        return decode_gif(bytes(data), max_pixels=1 << 20)
     raise NotImplementedError(f"unsupported payload format: {fmt}")
 
 

@@ -5,8 +5,12 @@ Images/audio/video ride as opaque `binary` columns with typed metadata
 Arrow-batched `mapInPandas` over numpy arrays: decode, resize, per-channel
 feature extraction, video frame sampling.
 
-Real vs stubbed (this container has no image/audio libraries):
+Real vs stubbed (all codecs are this repo's pure-numpy implementations;
+system libwebp/libgif are used only as independent test oracles):
   * png / raw containers: REAL decode/encode (crawler/imaging.py)
+  * gif: REAL 87a/89a decode (LZW, interlace, transparency, multi-frame
+    compositing — animated rows flow through sample_frames) + subset
+    encoder — functions/gifcodec.py, streams validated via libgif
   * jpeg: REAL decode/encode — pure-numpy T.81 codec
     (functions/jpegcodec.py): baseline + progressive (SOF2), every
     1-2x1-2 sampling layout + grayscale, multi-scan, restart intervals;
@@ -65,7 +69,7 @@ def decode_vid0(data: bytes) -> list[np.ndarray]:
 
 
 def _decode_any(data: bytes, fmt: str) -> np.ndarray:
-    if fmt in ("png", "raw", "jpeg", "jpg", "webp"):
+    if fmt in ("png", "raw", "jpeg", "jpg", "webp", "gif"):
         return decode_image(bytes(data), fmt)
     # STUB: mp3/mp4 codecs unavailable in this container
     raise NotImplementedError(f"decode for fmt={fmt!r} requires a codec library")
@@ -223,6 +227,20 @@ def sample_frames(df: DataFrame, every: int = 2, id_col: str = "video_id",
                         rows["w"].append(fr["width"])
                         rows["h"].append(fr["height"])
                         rows["fmt"].append(fr["codec"])
+                    continue
+                if fmt == "gif":
+                    # animated GIF: composited frames via the real codec
+                    from sher_look_spark.functions.gifcodec import decode_gif_frames
+
+                    for i, frame in enumerate(decode_gif_frames(bytes(data))):
+                        if i % every:
+                            continue
+                        rows["video_id"].append(vid)
+                        rows["frame_idx"].append(i)
+                        rows["bytes"].append(encode_png(frame))
+                        rows["w"].append(frame.shape[1])
+                        rows["h"].append(frame.shape[0])
+                        rows["fmt"].append("png")
                     continue
                 if fmt != "vid0":
                     raise NotImplementedError(f"frame sampling for fmt={fmt!r} needs a codec")

@@ -174,8 +174,8 @@ def test_imaging_reject_set():
     vp8 = b"RIFF" + struct.pack("<I", 16) + b"WEBP" + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
     with pytest.raises(VP8Error):
         decode_image(vp8, "webp")
-    # 4. unknown container formats (gif/avif/mp3/mp4 route here)
-    for fmt in ("gif", "avif", "mp3", "mp4"):
+    # 4. unknown container formats (avif/mp3/mp4 route here; gif now decodes)
+    for fmt in ("avif", "mp3", "mp4"):
         with pytest.raises(NotImplementedError, match="unsupported payload format"):
             decode_image(b"\x00" * 16, fmt)
 
