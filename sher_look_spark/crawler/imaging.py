@@ -1,10 +1,11 @@
 """Image payload codec + perceptual hashing (graft payload: image+caption).
 
-The container has no image libraries (no PIL/opencv), so the engine ships a
-minimal-but-real PNG codec (stdlib zlib, filter type 0) plus raw-RGB
-containers. The Spark-side plumbing — binary columns, Arrow batch decode,
-PSNR/phash checks — is the real thing; swapping in a JPEG library later only
-changes these two functions.
+The container has no image libraries (no PIL/opencv), so the engine ships
+pure-numpy codecs built from the public specs: full PNG decode (all row
+filters, color types, depths, Adam7 — functions/pngcodec.py), JPEG (T.81),
+WebP (VP8L + VP8), GIF, plus raw-RGB containers. The Spark-side plumbing —
+binary columns, Arrow batch decode, PSNR/phash checks — is the real thing.
+encode_png below stays the synth web's fast writer (filter-0 RGB8).
 
 Payload invariant (BASELINE.json input_hint): decoded-pixel PSNR >= 40 dB
 (infinite for our lossless codec) + exact caption equality.
@@ -44,35 +45,16 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode PNGs produced by :func:`encode_png` (RGB8, filter 0)."""
-    if data[:8] != _PNG_SIG:
-        raise ValueError("not a PNG")
-    pos = 8
-    w = h = None
-    idat = b""
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        if tag == b"IHDR":
-            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
-            if depth != 8 or ctype != 2:
-                raise NotImplementedError("codec supports RGB8/filter-0 only")
-        elif tag == b"IDAT":
-            idat += payload
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    raw = zlib.decompress(idat)
-    stride = w * 3 + 1
-    rows = []
-    for y in range(h):
-        row = raw[y * stride : (y + 1) * stride]
-        if row[0] != 0:
-            raise NotImplementedError("codec supports filter type 0 only")
-        rows.append(np.frombuffer(row[1:], dtype=np.uint8))
-    return np.stack(rows).reshape(h, w, 3)
+def decode_png(data: bytes, max_pixels: int | None = None) -> np.ndarray:
+    """Decode any legal PNG stream to HxWx3 RGB8 (alpha over white).
+
+    Real-web PNGs use adaptive row filters 1-4, palette/gray/alpha color
+    types, sub-byte and 16-bit depths and occasionally Adam7 interlace —
+    the full decoder lives in functions/pngcodec.py (validated bit-exact
+    against the system libpng16 in tests/test_png.py)."""
+    from sher_look_spark.functions.pngcodec import decode_png_full
+
+    return decode_png_full(data, max_pixels=max_pixels)
 
 
 def encode_raw(arr: np.ndarray) -> bytes:
@@ -90,7 +72,9 @@ def decode_raw(data: bytes) -> np.ndarray:
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
-        return decode_png(data)
+        # full decoder: the cap bounds the serial Average/Paeth unfilter
+        # loops against oversized untrusted payloads, same as webp/gif
+        return decode_png(data, max_pixels=1 << 20)
     if fmt == "raw":
         return decode_raw(data)
     if fmt in ("jpeg", "jpg"):

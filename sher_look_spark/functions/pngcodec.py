@@ -1,0 +1,411 @@
+"""Full-feature PNG (ISO/IEC 15948 / W3C PNG spec) decoder + test encoder.
+
+Real-web PNGs — ~15-20% of image transfers — are NOT the filter-0 RGB8
+streams the synthetic web emits: every mainstream encoder (libpng, zopflipng,
+pngcrush, browsers' canvas.toBlob) picks row filters 1-4 adaptively, and the
+corpus mixes palette (color type 3), grayscale (0), alpha (4/6), 16-bit
+channels and occasionally Adam7 interlace. This module decodes all of it:
+
+- the five row filters (None/Sub/Up/Average/Paeth, spec §9): None/Up are
+  plain vectorized adds, Sub is an exact per-byte-class uint8 prefix sum
+  (np.add.accumulate wraps mod 256), Average/Paeth carry a true serial
+  dependence on the left pixel and run as bytearray loops — bounded by the
+  same ``max_pixels`` cap the other codecs use against untrusted payloads;
+- color types 0/2/3/4/6 at their legal bit depths 1/2/4/8/16 (§11.2.2),
+  including PLTE and all three tRNS forms (palette alpha, gray key, RGB key);
+- Adam7 interlace (§8.2): each reduced image is reconstructed independently
+  then scattered into the output grid;
+- per-chunk CRC verification and multi-IDAT reassembly.
+
+Output contract matches the rest of the imaging tier (HxWx3 uint8 RGB);
+alpha is composited over opaque white, 16-bit samples reduce to 8-bit by
+taking the high byte (the spec's recommended sample-depth rescale for
+display, §13.12 — no gamma is applied, matching a gAMA-less stream).
+
+The decoder is validated bit-exact against the system libpng16 both ways in
+tests/test_png.py: libpng-ENCODED streams (real adaptive filter choices)
+through our decoder, and our adversarial encoder's streams (forced per-row
+filters, sub-byte depths, palette+tRNS, Adam7) through libpng's simplified
+read API.
+
+Reference parity note: the reference crawler stores fetched image bytes
+as-is and relies on the JVM's ImageIO for pixel access; this engine decodes
+in vectorized numpy inside Arrow-batched UDFs (operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# channels per color type (spec §11.2.2)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_LEGAL_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+# Adam7 pass grids: (x_start, y_start, x_step, y_step) — spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+class PngError(ValueError):
+    pass
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    # spec §9.4 — predictor selects the neighbor closest to a + b - c
+    p = a + b - c
+    pa = p - a if p >= a else a - p
+    pb = p - b if p >= b else b - p
+    pc = p - c if p >= c else c - p
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-row filters; returns (h, stride) uint8."""
+    if len(raw) < h * (stride + 1):
+        raise PngError("truncated image data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).copy()
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub: per byte-class prefix sum, wraps mod 256
+            for r in range(bpp):
+                np.add.accumulate(cur[r::bpp], out=cur[r::bpp])
+        elif ftype == 2:  # Up
+            cur += prev
+        elif ftype == 3:  # Average — serial left dependence
+            buf = bytearray(cur.tobytes())
+            pv = prev.tobytes()
+            for x in range(stride):
+                left = buf[x - bpp] if x >= bpp else 0
+                buf[x] = (buf[x] + ((left + pv[x]) >> 1)) & 0xFF
+            cur = np.frombuffer(bytes(buf), dtype=np.uint8).copy()
+        elif ftype == 4:  # Paeth — serial left dependence
+            buf = bytearray(cur.tobytes())
+            pv = prev.tobytes()
+            for x in range(stride):
+                left = buf[x - bpp] if x >= bpp else 0
+                ul = pv[x - bpp] if x >= bpp else 0
+                buf[x] = (buf[x] + _paeth(left, pv[x], ul)) & 0xFF
+            cur = np.frombuffer(bytes(buf), dtype=np.uint8).copy()
+        else:
+            raise PngError(f"bad filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def _unpack_samples(rows: np.ndarray, w: int, channels: int, depth: int) -> np.ndarray:
+    """(h, stride) filtered bytes -> (h, w, channels) samples (uint8/uint16)."""
+    h = rows.shape[0]
+    if depth == 16:
+        arr = rows.reshape(h, -1).view(">u2").astype(np.uint16)
+        return arr[:, : w * channels].reshape(h, w, channels)
+    if depth == 8:
+        return rows[:, : w * channels].reshape(h, w, channels)
+    # sub-byte depths: big-endian bit packing within each byte (§7.2)
+    bits = np.unpackbits(rows, axis=1)
+    vals = bits.reshape(h, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    samples = (vals * weights).sum(axis=2).astype(np.uint8)
+    return samples[:, : w * channels].reshape(h, w, channels)
+
+
+def _to_rgba8(
+    samples: np.ndarray,
+    ctype: int,
+    depth: int,
+    palette: np.ndarray | None,
+    trns: bytes | None,
+) -> np.ndarray:
+    """(h, w, channels) raw samples -> (h, w, 4) RGBA8."""
+    h, w, _ = samples.shape
+    if ctype == 3:
+        if palette is None:
+            raise PngError("palette image without PLTE")
+        idx = samples[:, :, 0].astype(np.int32)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise PngError("palette index out of range")
+        rgb = palette[idx]
+        alpha = np.full((h, w), 255, dtype=np.uint8)
+        if trns:
+            amap = np.full(len(palette), 255, dtype=np.uint8)
+            t = np.frombuffer(trns, dtype=np.uint8)[: len(palette)]
+            amap[: len(t)] = t
+            alpha = amap[idx]
+        return np.dstack([rgb, alpha])
+
+    # scale to 8 bits: high-byte for 16-bit, max-value replication below 8
+    if depth == 16:
+        s8 = (samples >> 8).astype(np.uint8)
+    elif depth == 8:
+        s8 = samples.astype(np.uint8)
+    else:
+        maxv = (1 << depth) - 1
+        s8 = (samples.astype(np.uint16) * 255 // maxv).astype(np.uint8)
+
+    if ctype == 0:
+        g = s8[:, :, 0]
+        alpha = np.full((h, w), 255, dtype=np.uint8)
+        if trns and len(trns) >= 2:
+            (key,) = struct.unpack(">H", trns[:2])
+            alpha = np.where(samples[:, :, 0] == key, 0, 255).astype(np.uint8)
+        return np.dstack([g, g, g, alpha])
+    if ctype == 2:
+        alpha = np.full((h, w), 255, dtype=np.uint8)
+        if trns and len(trns) >= 6:
+            kr, kg, kb = struct.unpack(">HHH", trns[:6])
+            hit = (
+                (samples[:, :, 0] == kr)
+                & (samples[:, :, 1] == kg)
+                & (samples[:, :, 2] == kb)
+            )
+            alpha = np.where(hit, 0, 255).astype(np.uint8)
+        return np.dstack([s8, alpha])
+    if ctype == 4:
+        g = s8[:, :, 0]
+        return np.dstack([g, g, g, s8[:, :, 1]])
+    if ctype == 6:
+        return s8
+    raise PngError(f"bad color type {ctype}")
+
+
+def decode_png_rgba(data: bytes, max_pixels: int | None = None) -> np.ndarray:
+    """Decode any legal PNG stream to (h, w, 4) RGBA8."""
+    if data[:8] != PNG_SIG:
+        raise PngError("not a PNG")
+    pos = 8
+    w = h = None
+    depth = ctype = interlace = 0
+    palette: np.ndarray | None = None
+    trns: bytes | None = None
+    idat: list[bytes] = []
+    seen_iend = False
+    while pos + 8 <= len(data) and not seen_iend:
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length or pos + 12 + length > len(data):
+            raise PngError("truncated chunk")
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise PngError(f"CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if comp != 0 or filt != 0:
+                raise PngError("unknown compression/filter method")
+            if ctype not in _CHANNELS or depth not in _LEGAL_DEPTHS[ctype]:
+                raise PngError(f"illegal depth/color combination {depth}/{ctype}")
+            if interlace not in (0, 1):
+                raise PngError("unknown interlace method")
+            if max_pixels is not None and w * h > max_pixels:
+                raise PngError(f"image {w}x{h} exceeds decode cap {max_pixels}")
+        elif tag == b"PLTE":
+            if length % 3 != 0 or length == 0 or length > 768:
+                raise PngError("bad PLTE length")
+            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = payload
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            seen_iend = True
+        # ancillary chunks (gAMA, sRGB, tEXt, pHYs, ...) are skipped
+        pos += 12 + length
+    if w is None or not idat:
+        raise PngError("missing IHDR or IDAT")
+    channels = _CHANNELS[ctype]
+    bpp = max(1, channels * depth // 8)
+    # bound inflation to exactly the scanline bytes the geometry needs —
+    # a deflate bomb in IDAT must not expand past w*h regardless of stream
+    if interlace == 0:
+        expected = h * ((w * channels * depth + 7) // 8 + 1)
+    else:
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw and ph:
+                expected += ph * ((pw * channels * depth + 7) // 8 + 1)
+    try:
+        raw = zlib.decompressobj().decompress(b"".join(idat), expected)
+    except zlib.error as e:
+        raise PngError(f"bad zlib stream: {e}") from e
+
+    if interlace == 0:
+        stride = (w * channels * depth + 7) // 8
+        rows = _unfilter(raw, h, stride, bpp)
+        samples = _unpack_samples(rows, w, channels, depth)
+    else:
+        dt = np.uint16 if depth == 16 else np.uint8
+        samples = np.zeros((h, w, channels), dtype=dt)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            stride = (pw * channels * depth + 7) // 8
+            nbytes = ph * (stride + 1)
+            rows = _unfilter(raw[off : off + nbytes], ph, stride, bpp)
+            off += nbytes
+            sub = _unpack_samples(rows, pw, channels, depth)
+            samples[y0::dy, x0::dx] = sub
+    return _to_rgba8(samples, ctype, depth, palette, trns)
+
+
+def decode_png_full(data: bytes, max_pixels: int | None = None) -> np.ndarray:
+    """Decode any legal PNG to (h, w, 3) RGB8, alpha composited over white."""
+    rgba = decode_png_rgba(data, max_pixels=max_pixels)
+    rgb = rgba[:, :, :3].astype(np.uint16)
+    a = rgba[:, :, 3:4].astype(np.uint16)
+    # composite over opaque white with correct rounding
+    out = (rgb * a + 255 * (255 - a) + 127) // 255
+    return out.astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# Adversarial test encoder: forces specific filters / depths / interlace so
+# tests can exercise every decode path with streams libpng will also read.
+# --------------------------------------------------------------------------
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def _pack_samples(samples: np.ndarray, w: int, channels: int, depth: int) -> np.ndarray:
+    """(h, w, channels) -> (h, stride) packed scanline bytes."""
+    h = samples.shape[0]
+    if depth == 16:
+        return (
+            samples.astype(">u2").reshape(h, -1).view(np.uint8).reshape(h, -1)
+        )
+    if depth == 8:
+        return samples.astype(np.uint8).reshape(h, -1)
+    flat = samples.reshape(h, -1).astype(np.uint8)
+    bits = (
+        (flat[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).reshape(h, -1).astype(np.uint8)
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+    return np.packbits(bits, axis=1)
+
+
+def _filter_rows(rows: np.ndarray, bpp: int, filters) -> bytes:
+    """Apply per-row filters; ``filters`` is an int, or a sequence per row."""
+    h, stride = rows.shape
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        cur = rows[y]
+        f = filters if isinstance(filters, int) else filters[y % len(filters)]
+        if f == 0:
+            enc = cur.copy()
+        elif f == 1:
+            left = np.zeros_like(cur)
+            left[bpp:] = cur[:-bpp]
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            left = np.zeros_like(cur)
+            left[bpp:] = cur[:-bpp]
+            enc = cur - ((left.astype(np.uint16) + prev) >> 1).astype(np.uint8)
+        elif f == 4:
+            enc = np.empty_like(cur)
+            pv = prev.tobytes()
+            cb = cur.tobytes()
+            for x in range(stride):
+                left = cb[x - bpp] if x >= bpp else 0
+                ul = pv[x - bpp] if x >= bpp else 0
+                enc[x] = (cb[x] - _paeth(left, pv[x], ul)) & 0xFF
+        else:
+            raise ValueError(f"bad filter {f}")
+        out.append(f)
+        out.extend(enc.tobytes())
+        prev = cur
+    return bytes(out)
+
+
+def encode_png_adv(
+    samples: np.ndarray,
+    ctype: int,
+    depth: int = 8,
+    filters=0,
+    interlace: bool = False,
+    palette: np.ndarray | None = None,
+    trns: bytes | None = None,
+) -> bytes:
+    """Encode (h, w, channels) raw samples as a valid PNG stream.
+
+    ``samples`` carries raw sample values for the given color type (palette
+    indices for type 3, gray[+alpha] for 0/4, RGB[A] for 2/6) at the given
+    depth. ``filters`` is a fixed filter id or a per-row cycle.
+    """
+    if samples.ndim == 2:
+        samples = samples[:, :, None]
+    h, w, channels = samples.shape
+    if channels != _CHANNELS[ctype]:
+        raise ValueError("channel count does not match color type")
+    if depth not in _LEGAL_DEPTHS[ctype]:
+        raise ValueError("illegal depth for color type")
+    bpp = max(1, channels * depth // 8)
+
+    if not interlace:
+        rows = _pack_samples(samples, w, channels, depth)
+        raw = _filter_rows(rows, bpp, filters)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            rows = _pack_samples(sub, sub.shape[1], channels, depth)
+            parts.append(_filter_rows(rows, bpp, filters))
+        raw = b"".join(parts)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, int(interlace))
+    out = PNG_SIG + _chunk(b"IHDR", ihdr)
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("type-3 encode needs a palette")
+        out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    if trns is not None:
+        out += _chunk(b"tRNS", trns)
+    # split IDAT to exercise multi-chunk reassembly
+    z = zlib.compress(raw, 6)
+    half = max(1, len(z) // 2)
+    out += _chunk(b"IDAT", z[:half]) + _chunk(b"IDAT", z[half:])
+    return out + _chunk(b"IEND", b"")

@@ -584,7 +584,9 @@ def _synth_raw_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic constant-color images derived from doc_ids — the
     binary-column input for the multimodal operators. doc_id % 6 in (0, 2)
     rows carry LOSSLESS WebP (VP8L) bytes, doc_id % 6 == 3 rows LOSSY WebP
-    (VP8 keyframe, functions/vp8codec.py), the rest the raw container.
+    (VP8 keyframe, functions/vp8codec.py), doc_id % 6 == 1 rows real-web
+    PNG (row filters 1-4, some Adam7 — functions/pngcodec.py), the rest
+    the raw container.
     VP8L/raw decode exactly (closed-form oracle); the lossy rows' expected
     means are computed by an independent reference decoder (libwebp) and
     embedded in the oracle SQL (_mm_lossy_expected), so all three webp
@@ -597,6 +599,8 @@ def _synth_raw_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         from sher_look_spark.functions.vp8codec import encode_webp_lossy
         from sher_look_spark.functions.webpcodec import encode_webp_lossless
 
+        from sher_look_spark.functions.pngcodec import encode_png_adv
+
         out = []
         for d in ids:
             arr = _mm_fixture_array(d)
@@ -604,6 +608,16 @@ def _synth_raw_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append(encode_webp_lossless(arr))
             elif d % 6 == 3:
                 out.append(encode_webp_lossy(arr, qindex=_MM_LOSSY_QINDEX))
+            elif d % 6 == 1:
+                # real-web-shaped PNG: adaptive-style row filters 1-4 and
+                # (every other row-class) Adam7 interlace — exercises the
+                # full pngcodec decode paths through the Spark pipeline;
+                # lossless, so the closed-form oracle is unchanged
+                out.append(
+                    encode_png_adv(
+                        arr, 2, 8, filters=[1, 2, 3, 4], interlace=(d % 12 == 7)
+                    )
+                )
             else:
                 out.append(encode_raw(arr))
         return pd.Series(out)
@@ -613,6 +627,7 @@ def _synth_raw_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("image_id"),
         mk("doc_id").alias("bytes"),
         F.when((F.col("doc_id") % 3 == 2) | (F.col("doc_id") % 6 == 3), F.lit("webp"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("png"))
         .otherwise(F.lit("raw"))
         .alias("fmt"),
     )
