@@ -58,6 +58,64 @@ def _spark(cpus: int, app: str):
     return get_spark(app, master=f"local[{cpus}]", shuffle_partitions=max(2 * cpus, 8))
 
 
+def _pyfiles_zip() -> str:
+    """Package the library the way a cluster submit ships it
+    (``spark-submit --py-files sher_look_spark.zip``): executors in
+    local-cluster mode are SEPARATE JVMs whose Python workers do not share
+    the driver's sys.path, so the code must travel as an archive."""
+    import zipfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join("/tmp", "sher_look_spark_pyfiles.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        pkg = os.path.join(root, "sher_look_spark")
+        for dirpath, _dirs, files in os.walk(pkg):
+            if "__pycache__" in dirpath:
+                continue
+            for f in files:
+                if f.endswith(".py") or f.endswith(".txt"):
+                    full = os.path.join(dirpath, f)
+                    zf.write(full, os.path.relpath(full, root))
+    return zpath
+
+
+def _spark_cluster(n_exec: int, cores_per: int, app: str, exec_mem_mb: int = 12288):
+    """SparkSession on ``local-cluster[n_exec, cores_per, mem]`` — real
+    multi-executor topology on one box: each executor is its OWN JVM with
+    its own heap, GC, Arrow sockets and Python worker pool, and shuffles
+    cross process boundaries over netty. This is the in-sandbox analog of
+    the north rule's "N and 4N executors launched with spark-submit
+    --py-files": scaling executors (not threads in one shared JVM) is
+    exactly what a real cluster scales."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    shm = "/dev/shm/spark-local"
+    os.makedirs(shm, exist_ok=True)
+    os.environ.setdefault("SPARK_LOCAL_DIRS", shm)
+    # driver only plans/orchestrates here — executors hold the data
+    os.environ.setdefault("SPARK_DRIVER_MEM", "8g")
+    from sher_look_spark.session import get_spark
+
+    zpath = _pyfiles_zip()
+    spark = get_spark(
+        app,
+        master=f"local-cluster[{n_exec},{cores_per},{exec_mem_mb}]",
+        shuffle_partitions=max(2 * n_exec * cores_per, 8),
+        extra_conf={
+            "spark.executor.memory": f"{exec_mem_mb}m",
+            # per-executor JVMs are small; cap GC threads the same way the
+            # shared-JVM path does (JVM sizes GC pools from HOST cores)
+            "spark.executor.extraJavaOptions": (
+                "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=1 "
+                "-XX:+UseG1GC -XX:G1HeapRegionSize=16m"
+            ),
+            "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+            "spark.executorEnv.OMP_NUM_THREADS": "1",
+        },
+    )
+    spark.sparkContext.addPyFile(zpath)
+    return spark
+
+
 def _busy_cores(sample_secs: float = 3.0) -> float:
     """Cores currently busy VM-wide, from two /proc/stat samples. While WE
     are idle (between legs, previous JVM stopped) any busy core is external
@@ -254,6 +312,7 @@ def run_scaling(
     committed_target: int = 100000, repeats: int = 4,
     img_min: int = 64, img_max: int = 128, jpeg_every: int = 0,
     n_seeds: int = 500, levels: tuple[int, int] = (8, 32),
+    cluster_cores_per: int | None = None,
 ) -> dict:
     """Interleaved repeats with best-of per level: the sandbox VM's wall-clock
     noise is large (2x run-to-run on identical work) and strictly additive,
@@ -281,7 +340,15 @@ def run_scaling(
             # was measured in windows delivering 0.3-1.6 of requested cores
             load = _wait_quiet(max_load=quiet_gate, timeout=gate_timeout)
             cpu0 = _tree_cpu_secs()
-            spark = _spark(cpus, f"crawl-scaling-{cpus}-r{r}")
+            if cluster_cores_per:
+                # `cpus` counts EXECUTORS here (N vs 4N executor JVMs),
+                # each with `cluster_cores_per` cores
+                spark = _spark_cluster(
+                    cpus, cluster_cores_per,
+                    f"crawl-scaling-{cpus}x{cluster_cores_per}-r{r}",
+                )
+            else:
+                spark = _spark(cpus, f"crawl-scaling-{cpus}-r{r}")
             out = crawl_throughput(
                 spark, committed_target, img_min=img_min, img_max=img_max,
                 jpeg_every=jpeg_every, n_seeds=n_seeds,
@@ -295,8 +362,16 @@ def run_scaling(
             out["delivered_parallelism"] = round(out["cpu_secs"] / out["secs"], 2)
             out["cpu_ms_per_url"] = round(1000 * out["cpu_secs"] / max(out["committed"], 1), 1)
             out["load_avg_at_launch"] = round(load, 2)
+            if cluster_cores_per:
+                out["executors"] = cpus
+                out["cores"] = cpus * cluster_cores_per
             results[cpus].append(out)
-            print(f"  local[{cpus}] run {r}: {out}", file=sys.stderr)
+            mode = (
+                f"local-cluster[{cpus},{cluster_cores_per}]"
+                if cluster_cores_per
+                else f"local[{cpus}]"
+            )
+            print(f"  {mode} run {r}: {out}", file=sys.stderr)
     best = {c: max(runs, key=lambda x: x["urls_per_sec"]) for c, runs in results.items()}
     eff = (best[hi]["urls_per_sec"] / best[lo]["urls_per_sec"]) / (hi / lo)
     return {
@@ -394,6 +469,32 @@ if __name__ == "__main__":
             committed_target=100000, repeats=2, jpeg_every=1,
             img_min=224, img_max=320, n_seeds=2000,
             levels=_cli_levels(),
+        )))
+    elif "--scaling-cluster" in sys.argv:
+        # The north rule VERBATIM, minus the second physical box: N vs 4N
+        # EXECUTORS (separate JVMs via local-cluster, package shipped as a
+        # --py-files zip), same xheavy workload. Executor-level scaling is
+        # what a real cluster scales: each executor brings its own heap,
+        # GC, Arrow sockets and Python worker pool, so the shared-JVM
+        # contention that capped the thread-scaling protocols (round-4
+        # forensics: ~1.9x CPU/URL inflation 8->32 threads in ONE JVM vs
+        # 1.12x for the Spark-free multiprocessing control) is absent by
+        # construction. --levels counts executors here (default 1,4) and
+        # --cores-per sets threads per executor (default 6 -> 6 vs 24
+        # cores, leaving driver/OS headroom on the 32-core box).
+        cores_per = 6
+        for a in sys.argv:
+            if a.startswith("--cores-per="):
+                cores_per = int(a.split("=", 1)[1])
+        lo, hi = (1, 4)
+        for a in sys.argv:
+            if a.startswith("--levels="):
+                s_lo, s_hi = a.split("=", 1)[1].split(",")
+                lo, hi = int(s_lo), int(s_hi)
+        print(json.dumps(run_scaling(
+            committed_target=100000, repeats=2, jpeg_every=1,
+            img_min=224, img_max=320, n_seeds=2000,
+            levels=(lo, hi), cluster_cores_per=cores_per,
         )))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
