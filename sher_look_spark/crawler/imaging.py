@@ -97,6 +97,15 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         from sher_look_spark.functions.gifcodec import decode_gif
 
         return decode_gif(bytes(data), max_pixels=1 << 20)
+    if fmt == "bmp":
+        from sher_look_spark.functions.icobmp import decode_bmp
+
+        return decode_bmp(bytes(data), max_pixels=1 << 20)
+    if fmt == "ico":
+        # favicon container: best entry, DIB (+AND mask) or embedded PNG
+        from sher_look_spark.functions.icobmp import decode_ico
+
+        return decode_ico(bytes(data), max_pixels=1 << 20)
     raise NotImplementedError(f"unsupported payload format: {fmt}")
 
 

@@ -69,7 +69,7 @@ def decode_vid0(data: bytes) -> list[np.ndarray]:
 
 
 def _decode_any(data: bytes, fmt: str) -> np.ndarray:
-    if fmt in ("png", "raw", "jpeg", "jpg", "webp", "gif"):
+    if fmt in ("png", "raw", "jpeg", "jpg", "webp", "gif", "bmp", "ico"):
         return decode_image(bytes(data), fmt)
     # STUB: mp3/mp4 codecs unavailable in this container
     raise NotImplementedError(f"decode for fmt={fmt!r} requires a codec library")
