@@ -585,8 +585,9 @@ def _synth_raw_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary-column input for the multimodal operators. doc_id % 6 in (0, 2)
     rows carry LOSSLESS WebP (VP8L) bytes, doc_id % 6 == 3 rows LOSSY WebP
     (VP8 keyframe, functions/vp8codec.py), doc_id % 6 == 1 rows real-web
-    PNG (row filters 1-4, some Adam7 — functions/pngcodec.py), the rest
-    the raw container.
+    PNG (row filters 1-4, some Adam7 — functions/pngcodec.py), doc_id % 12
+    in (4, 10) rows favicon-class BMP / ICO (functions/icobmp.py), the
+    rest the raw container.
     VP8L/raw decode exactly (closed-form oracle); the lossy rows' expected
     means are computed by an independent reference decoder (libwebp) and
     embedded in the oracle SQL (_mm_lossy_expected), so all three webp
@@ -618,6 +619,17 @@ def _synth_raw_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                         arr, 2, 8, filters=[1, 2, 3, 4], interlace=(d % 12 == 7)
                     )
                 )
+            elif d % 12 == 4:
+                # favicon-class containers (lossless, oracle unchanged):
+                # plain 24-bit BMP ...
+                from sher_look_spark.functions.icobmp import encode_bmp
+
+                out.append(encode_bmp(arr, 24))
+            elif d % 12 == 10:
+                # ... and ICO with a 32-bit DIB entry + AND mask
+                from sher_look_spark.functions.icobmp import encode_ico
+
+                out.append(encode_ico([(arr, None)]))
             else:
                 out.append(encode_raw(arr))
         return pd.Series(out)
@@ -628,6 +640,8 @@ def _synth_raw_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         mk("doc_id").alias("bytes"),
         F.when((F.col("doc_id") % 3 == 2) | (F.col("doc_id") % 6 == 3), F.lit("webp"))
         .when(F.col("doc_id") % 6 == 1, F.lit("png"))
+        .when(F.col("doc_id") % 12 == 4, F.lit("bmp"))
+        .when(F.col("doc_id") % 12 == 10, F.lit("ico"))
         .otherwise(F.lit("raw"))
         .alias("fmt"),
     )
