@@ -49,6 +49,11 @@ class SynthWebConfig:
     # cj % jpeg_every == 0 — web-realistic payload mix through the real
     # baseline codec; 0 disables (keeps pre-existing fixtures byte-stable)
     jpeg_every: int = 0
+    # page (ci, cj) serves an ICO favicon container when
+    # cj % ico_every == 2 (offset 2: disjoint from the jpeg/webp classes
+    # at the usual strides) — lossless 32-bit DIB entry, so the PSNR
+    # payload contract stays exact
+    ico_every: int = 0
     # page (ci, cj) serves a WebP when cj % webp_every == 1 (offset 1 so
     # the jpeg and webp classes never collide): lossy VP8 (vp8codec.py)
     # at >=32 px, VP8L lossless below (the 4:2:0 chroma floor of the lossy
@@ -226,7 +231,10 @@ def page_image_array(cfg: SynthWebConfig, ci: int, cj: int) -> tuple[np.ndarray,
             )
         arr = np.clip(np.floor(np.stack(chans, axis=-1)), 0, 255).astype(np.uint8)
         return arr, ("webp" if is_webp else "jpeg")
-    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8), "png"
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    if cfg.ico_every and cj % cfg.ico_every == 2:
+        return arr, "ico"
+    return arr, "png"
 
 
 def page_image(cfg: SynthWebConfig, ci: int, cj: int) -> tuple[bytes, int, int, str, str, int]:
@@ -260,6 +268,11 @@ def page_image(cfg: SynthWebConfig, ci: int, cj: int) -> tuple[bytes, int, int, 
             arr = decode_webp(data)
         else:
             data = encode_webp_lossless(arr)
+    elif fmt == "ico":
+        from sher_look_spark.functions.icobmp import encode_ico
+
+        # favicon-class payload: ICO container, 32-bit DIB entry (lossless)
+        data = encode_ico([(arr, None)])
     else:
         data = encode_png(arr)
     caption = f"img host{ci} page{cj} " + " ".join(_words(cfg, "cap", ci, cj, 4))

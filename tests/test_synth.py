@@ -88,3 +88,30 @@ def test_webp_payload_class_fidelity():
                 assert data[12:16] == b"VP8L"
                 assert (got == ref).all()
     assert seen_lossy and seen_lossless  # both subclasses exercised
+
+
+def test_ico_payload_class_exact():
+    """ico_every pages serve real ICO containers (32-bit DIB entry) that
+    decode bit-exact; phash/metadata describe the stored payload."""
+    from sher_look_spark.crawler.imaging import decode_image, phash64
+
+    cfg = synth.SynthWebConfig(
+        n_hosts=3, pages_per_host=10, seed=11, ico_every=4,
+        img_min=8, img_max=24, timeout_pct=0,
+    )
+    seen = 0
+    for ci in range(cfg.n_hosts):
+        for cj in range(cfg.pages_per_host):
+            data, w, h, fmt, _cap, ph = synth.page_image(cfg, ci, cj)
+            want_ico = cj % 4 == 2
+            assert (fmt == "ico") == want_ico
+            if not want_ico:
+                continue
+            seen += 1
+            assert data[:4] == b"\x00\x00\x01\x00"  # ICONDIR, type 1
+            ref, _ = synth.page_image_array(cfg, ci, cj)
+            got = decode_image(data, "ico")
+            assert got.shape == (h, w, 3)
+            assert (got == ref).all()
+            assert phash64(got) == ph
+    assert seen > 0
