@@ -206,7 +206,7 @@ def run_queries() -> dict:
     }
     spark.stop()
     sf = 0.1 if "0.1" in sf_dir else sf_dir
-    return {
+    out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -215,6 +215,36 @@ def run_queries() -> dict:
         "crawl": crawl,
         "cpu_forensics": forensics,
     }
+    # surface the round's scaling-campaign headline (written separately by
+    # scripts/merge_scaling.py — campaigns take hours and are not re-run
+    # here) so this JSON is self-contained for a reader
+    import glob as _glob
+
+    def _rnum(p: str) -> int:
+        try:
+            return int(os.path.basename(p)[len("BENCH_SCALING_r"):-len(".json")])
+        except ValueError:
+            return -1
+
+    cands = sorted(
+        _glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_SCALING_r*.json")),
+        key=_rnum,
+    )
+    if cands:
+        try:
+            with open(cands[-1]) as fh:
+                sdoc = json.load(fh)
+            out["scaling_evidence"] = {
+                "file": os.path.basename(cands[-1]),
+                "value": sdoc.get("value"),
+                "protocols": {
+                    k: v.get("value") for k, v in sdoc.get("protocols", {}).items()
+                } or None,
+            }
+        except (OSError, ValueError):
+            pass
+    return out
 
 
 def crawl_throughput(
