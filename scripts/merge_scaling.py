@@ -62,10 +62,13 @@ def main() -> None:
         line = [l for l in text.strip().splitlines() if l.startswith("{")][-1]
         by_label[label].append(json.loads(line))
     protocols = {label: pool(cs) for label, cs in by_label.items()}
-    # headline value: the official heavy 8->32 protocol if present, else
-    # the first protocol alphabetically (labels are explicit in the file
-    # either way)
-    headline = protocols.get("heavy_8_32") or protocols[sorted(protocols)[0]]
+    # headline value: prefer the executor-level protocol (the rule's own
+    # shape: N vs 4N executor JVMs), then the heavy 8->32 thread protocol,
+    # else the first label alphabetically (all labels are explicit either way)
+    headline = next(
+        (protocols[k] for k in sorted(protocols) if k.startswith("cluster")),
+        None,
+    ) or protocols.get("heavy_8_32") or protocols[sorted(protocols)[0]]
     doc = {
         "metric": "crawl_scaling_efficiency",
         "value": headline["value"],
