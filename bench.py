@@ -342,7 +342,7 @@ def run_scaling(
     committed_target: int = 100000, repeats: int = 4,
     img_min: int = 64, img_max: int = 128, jpeg_every: int = 0,
     n_seeds: int = 500, levels: tuple[int, int] = (8, 32),
-    cluster_cores_per: int | None = None,
+    cluster_cores_per: int | None = None, cluster_exec_mem_mb: int = 12288,
 ) -> dict:
     """Interleaved repeats with best-of per level: the sandbox VM's wall-clock
     noise is large (2x run-to-run on identical work) and strictly additive,
@@ -376,6 +376,7 @@ def run_scaling(
                 spark = _spark_cluster(
                     cpus, cluster_cores_per,
                     f"crawl-scaling-{cpus}x{cluster_cores_per}-r{r}",
+                    exec_mem_mb=cluster_exec_mem_mb,
                 )
             else:
                 spark = _spark(cpus, f"crawl-scaling-{cpus}-r{r}")
@@ -512,19 +513,21 @@ if __name__ == "__main__":
         # construction. --levels counts executors here (default 1,4) and
         # --cores-per sets threads per executor (default 6 -> 6 vs 24
         # cores, leaving driver/OS headroom on the 32-core box).
-        cores_per = 6
+        cores_per, exec_mem = 6, 12288
+        lo, hi = (1, 4)
         for a in sys.argv:
             if a.startswith("--cores-per="):
                 cores_per = int(a.split("=", 1)[1])
-        lo, hi = (1, 4)
-        for a in sys.argv:
-            if a.startswith("--levels="):
+            elif a.startswith("--exec-mem="):
+                exec_mem = int(a.split("=", 1)[1])
+            elif a.startswith("--levels="):
                 s_lo, s_hi = a.split("=", 1)[1].split(",")
                 lo, hi = int(s_lo), int(s_hi)
         print(json.dumps(run_scaling(
             committed_target=100000, repeats=2, jpeg_every=1,
             img_min=224, img_max=320, n_seeds=2000,
             levels=(lo, hi), cluster_cores_per=cores_per,
+            cluster_exec_mem_mb=exec_mem,
         )))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
