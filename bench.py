@@ -287,12 +287,33 @@ def crawl_throughput(
     t0 = time.time()
     out = eng.run(seeds)
     secs = time.time() - t0
+    # per-wave forensics from the snapshot manifests (one snapshot per wave;
+    # each carries that wave's lineage/metrics): shows how much of a leg's
+    # wall went to the narrow early waves — structural idle at sandbox
+    # scale (a 2000-seed wave cannot fill 24 cores) that vanishes when
+    # waves are 10^8 rows at the target scale
+    waves = []
+    try:
+        snap_dir = os.path.join(state, "_snapshots")
+        for f in sorted(os.listdir(snap_dir)):
+            if not f.startswith("snap-"):
+                continue
+            with open(os.path.join(snap_dir, f)) as fh:
+                m = json.load(fh).get("state", {}).get("metrics")
+            if m:
+                waves.append(
+                    {k: m[k] for k in ("wave", "candidates", "wave_committed",
+                                       "secs", "phases") if k in m}
+                )
+    except OSError:
+        pass
     shutil.rmtree(state, ignore_errors=True)
     return {
         "committed": out.get("committed", 0),
         "waves": out.get("wave", 0),
         "secs": round(secs, 3),
         "urls_per_sec": round(out.get("committed", 0) / secs, 2),
+        "wave_metrics": waves,
     }
 
 
