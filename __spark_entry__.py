@@ -33,7 +33,8 @@ def entry(spark: SparkSession) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = _spark_tokens(spark, sf_dir).withColumn("section", F.lit("body"))
     sizes = document_sizes(toks)
-    idf = idf_table(toks, n_docs=docs.count())
+    # query-term idf pruning (identical result — see queries.q_q4_tfidf)
+    idf = idf_table(toks.filter(F.col("word").isin(QUERY_TERMS)), n_docs=docs.count())
     scores = tfidf_scores(toks, sizes, idf, QUERY_TERMS)
     # paginate FIRST (TakeOrderedAndProject), then snippets for just the
     # shown docs — the reference's order (Ranker.java:623-637 -> :527-621);

@@ -76,6 +76,21 @@ def tokens_column(text_col: Column | str) -> Column:
     return F.split(F.lower(c), TOKEN_SPLIT_RE)
 
 
+def kept_tokens_column(text_col: Column | str, drop_stop_words: bool = True) -> Column:
+    """array<string> of KEPT tokens (empties and, optionally, stop words
+    removed) in document order — entirely JVM-side.
+
+    Because `filter` preserves array order, the kept array's element index IS
+    the reference position (positions advance only on kept tokens,
+    Tokenizer.java:43): a later `posexplode` yields positions directly, with
+    no per-document shuffle + window re-rank."""
+    c = tokens_column(text_col)
+    if drop_stop_words:
+        sw = sorted(stop_words())
+        return F.filter(c, lambda t: (t != "") & ~t.isin(sw))
+    return F.filter(c, lambda t: t != "")
+
+
 def explode_tokens(
     df: DataFrame,
     text_col: str = "text",
@@ -85,19 +100,15 @@ def explode_tokens(
 ) -> DataFrame:
     """documents -> one row per kept token with its reference-exact position.
 
-    Position semantics: `posexplode` indexes ALL raw tokens, so after dropping
-    empties/stop words we re-rank with a window ordered by the raw index —
-    positions advance only on kept tokens, matching Tokenizer.java:43.
-    """
-    from pyspark.sql import Window
-
-    toks = df.select(*keep_cols, F.posexplode(tokens_column(text_col)).alias("raw_pos", "word"))
-    toks = toks.filter(F.col("word") != "")
-    if drop_stop_words:
-        sw = sorted(stop_words())
-        toks = toks.filter(~F.col("word").isin(sw))
-    w = Window.partitionBy(*keep_cols).orderBy("raw_pos")
-    toks = toks.withColumn("position", F.row_number().over(w) - F.lit(1)).drop("raw_pos")
+    Position semantics: empties/stop words are dropped INSIDE the token array
+    (order-preserving `filter`), so `posexplode` indexes kept tokens only —
+    matching Tokenizer.java:43 with zero shuffles (the previous formulation
+    re-ranked exploded rows with a per-document window, paying an Exchange +
+    Sort over every token in the corpus)."""
+    toks = df.select(
+        *keep_cols,
+        F.posexplode(kept_tokens_column(text_col, drop_stop_words)).alias("position", "word"),
+    ).select(*keep_cols, "word", "position")
     if with_stems:
         toks = toks.withColumn("stem", porter_stem_udf("word"))
     return toks

@@ -67,6 +67,15 @@ def minhash_signatures(
     silently corrupted the per-permutation salts — caught by the DuckDB
     oracle; keep minhash lambda-free.)
     """
+    # The num_hashes salted-sha256 mins are computed in the aggregation over
+    # the exploded shingles, which runs in the INPUT's partitioning: a narrow
+    # input (one parquet file, a filtered slice) would hash every shingle on
+    # 1-2 cores. Spread small inputs over the cluster first (a shuffle of the
+    # raw text rows, tiny); wide inputs at corpus scale skip this — their
+    # scan parallelism is already the cluster's.
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < nparts:
+        df = df.repartition(nparts, F.col(id_col))
     sh = shingles_column(text_col, shingle)
     exploded = df.select(id_col, F.explode(sh).alias("_shingle"))
     aggs = [
@@ -89,35 +98,47 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
     Returns (id_a, id_b, est_jaccard) with id_a < id_b; est_jaccard = fraction
-    of equal signature slots."""
+    of equal signature slots.
+
+    The band self-join shuffles only (id, band, bucket) — carrying the full
+    64-slot signature arrays through it would ship every signature 2x bands
+    times (and candidate rows would be wide before the pair dedup). The
+    signatures are re-attached ONCE per deduped pair for the est_jaccard
+    verify, so each signature crosses exactly one shuffle boundary
+    (guide §2.3: shuffle keys and metadata, not payloads)."""
     rows_per_band = F.floor(F.size("signature") / F.lit(bands)).cast("int")
     # bucket key = the band's slice itself (joined); no hash needed — equal
     # slices ARE the LSH collision condition, and the key stays DuckDB-checkable
     banded = sigs.select(
         id_col,
-        "signature",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        F.col("signature"),
     ).select(
         id_col,
-        "signature",
         "band",
         F.concat_ws(
             "-", F.slice("signature", F.col("band") * rows_per_band + 1, rows_per_band)
         ).alias("bucket"),
     )
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band", "bucket")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq))
         / F.size("sig_a")
     )
-    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+    )
 
 
 def minhash_dedup(

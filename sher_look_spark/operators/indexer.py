@@ -16,10 +16,10 @@ Key exact semantics:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sher_look_spark.functions.text import porter_stem_udf, stop_words, tokens_column
+from sher_look_spark.functions.text import kept_tokens_column, porter_stem_udf
 
 
 def build_postings(
@@ -32,27 +32,27 @@ def build_postings(
 
     ``sections``: ordered (section_name, text_column) pairs; position runs
     across sections in list order (title tokenized before body, I3/I4).
+
+    Positions come straight from `posexplode` over the flattened
+    (section, kept-token) array — kept-only filtering happens inside each
+    section's array (order-preserving), so the cross-section running position
+    needs NO shuffle + per-document window (the previous formulation paid an
+    Exchange + Sort over every token in the corpus).
     """
     sections = sections or [("body", "text")]
-    section_struct = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("sec_ord"),
-                F.lit(name).alias("section"),
-                tokens_column(col).alias("toks"),
-            )
-            for i, (name, col) in enumerate(sections)
-        ]
+
+    def _tag(sec_name):
+        # NB: must be a 1-arg lambda — a 2-arg lambda would be read by
+        # PySpark as transform's (element, index) form
+        return lambda t: F.struct(F.lit(sec_name).alias("section"), t.alias("word"))
+
+    flat = F.flatten(
+        F.array(
+            *[F.transform(kept_tokens_column(col), _tag(name)) for name, col in sections]
+        )
     )
-    exploded = (
-        docs.select(doc_col, F.explode(section_struct).alias("s"))
-        .select(doc_col, "s.sec_ord", "s.section", F.posexplode("s.toks").alias("raw_pos", "word"))
-        .filter(F.col("word") != "")
-        .filter(~F.col("word").isin(sorted(stop_words())))
-    )
-    w = Window.partitionBy(doc_col).orderBy("sec_ord", "raw_pos")
-    postings = exploded.withColumn("position", F.row_number().over(w) - F.lit(1)).drop(
-        "raw_pos", "sec_ord"
+    postings = docs.select(doc_col, F.posexplode(flat).alias("position", "sw")).select(
+        doc_col, "sw.section", "sw.word", "position"
     )
     if with_stems:
         postings = postings.withColumn("stem", porter_stem_udf("word"))

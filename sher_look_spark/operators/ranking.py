@@ -135,6 +135,20 @@ def pagerank(
             # scheduling overhead here.
             spark.conf.set(aqe_key, "false")
         try:
+            if fixed and loop_parts == 1:
+                # Graph fits ONE shuffle partition: every iterate would
+                # execute as a single task anyway, so the per-iteration
+                # DataFrame plumbing (Catalyst analysis of a growing plan
+                # ~0.35 s/step, checkpoint actions, per-step broadcasts —
+                # measured 5-11 s for 8 steps on a 25-node graph) is pure
+                # scheduling overhead. Run the whole fixed power iteration
+                # as vectorized numpy inside that one task instead (guide
+                # §4.2: Spark distributes, native code computes) — identical
+                # formula, one job. Graphs above 65k vertices keep the
+                # chained distributed loop below.
+                return _pagerank_fused(
+                    spark, verts, edges, prev, n, base, damping, max_iter
+                )
             return _pagerank_loop(
                 spark, verts, edges, prev, n, base, damping, dangling_mass,
                 tol, max_iter, checkpoint_every, fixed,
@@ -142,6 +156,58 @@ def pagerank(
         finally:
             spark.conf.set(sp_key, sp_old)
             spark.conf.set(aqe_key, aqe_old)
+
+
+def _pagerank_fused(
+    spark, verts, edges, prev, n, base, damping, max_iter
+) -> DataFrame:
+    """Fixed-iteration power loop fused into ONE task for single-partition
+    graphs: vertices and edges cogroup on a constant key; the loop runs as
+    numpy array ops (np.add.at scatter for in-sums, boolean mask for the
+    dangling mass) — the same per-step formula as _pagerank_loop's fixed
+    mode, without 8x (plan analysis + shuffle + broadcast) scheduling cost.
+    The result is localCheckpoint'ed so callers see the same
+    materialized-frame contract as the chained path."""
+    import pandas as pd
+
+    max_iter_ = int(max_iter)
+    base_ = float(base)
+    damping_ = float(damping)
+    n_ = int(n)
+
+    def power(_key, vpdf: pd.DataFrame, epdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = vpdf["id"].to_numpy()
+        outd = vpdf["out_degree"].to_numpy("float64")
+        idx = {int(v): i for i, v in enumerate(ids)}
+        # edges touching ids outside `verts` contribute nothing — the same
+        # semantics as the chained path's src equi-join + verts left join
+        src = np.fromiter((idx.get(int(s), -1) for s in epdf["src"]), dtype="int64", count=len(epdf))
+        dst = np.fromiter((idx.get(int(d), -1) for d in epdf["dst"]), dtype="int64", count=len(epdf))
+        keep = (src >= 0) & (dst >= 0)
+        src, dst = src[keep], dst[keep]
+        dangling = outd == 0.0
+        rank = np.full(n_, 1.0 / n_, dtype="float64")
+        for _ in range(max_iter_):
+            dm = float(rank[dangling].sum())
+            in_sum = np.zeros(n_, dtype="float64")
+            if len(src):
+                np.add.at(in_sum, dst, rank[src] / outd[src])
+            rank = base_ + damping_ * (in_sum + dm / n_)
+        return pd.DataFrame({"id": ids, "rank": rank})
+
+    out = (
+        verts.select("id", "out_degree")
+        .groupBy(F.lit(0).alias("_g"))
+        .cogroup(edges.select("src", "dst").groupBy(F.lit(0).alias("_g")))
+        .applyInPandas(power, "id long, rank double")
+        .localCheckpoint(eager=True)
+    )
+    prev.unpersist()
+    verts.unpersist()
+    edges.unpersist()
+    return out
 
 
 def _pagerank_loop(

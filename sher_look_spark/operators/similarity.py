@@ -131,6 +131,7 @@ def embedding_neardup_pairs(
     emb: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
     n_planes: int = 12, seed: int = 42, n_tables: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate detection by cosine: LSH-bucket self-join candidates
     (same bucket in ANY of ``n_tables`` independent bucketings), exact cosine
@@ -141,8 +142,13 @@ def embedding_neardup_pairs(
     tables (e.g. 0.3 -> n_planes=2, n_tables=24: miss ~3e-5 per true pair);
     the 0.95 default is fine with the single 12-plane table. Deterministic
     hyperplanes (fixed seed) make recall reproducible run-to-run.
+
+    Pass ``dim`` when known: the fallback runs a driver action (`first()`)
+    just to learn the embedding width, serializing a job before the LSH
+    stage can even be planned.
     """
-    dim = len(emb.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
     bucketer = lsh_multitable_udf(dim, n_planes, n_tables, seed)
     bucketed = emb.select(
         id_col, vec_col, F.posexplode(bucketer(F.col(vec_col))).alias("t", "bucket")

@@ -16,14 +16,14 @@ search_pages: Q1-Q11 end-to-end over a crawl state dir.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sher_look_spark.crawler.storage import SnapshotStore
 from sher_look_spark.functions.hashing import url_hash64
 from sher_look_spark.functions.htmlparse import extract_fields
-from sher_look_spark.functions.text import stop_words, tokens_column
+from sher_look_spark.functions.text import kept_tokens_column
 
 PARSE_SCHEMA = T.StructType(
     [
@@ -70,16 +70,22 @@ def index_pages(pages: DataFrame) -> dict[str, DataFrame]:
         "doc_id", "url", F.col("p.title").alias("title"),
         F.col("p.description").alias("description"),
     )
-    sec = parsed.select(
-        "doc_id", F.posexplode("p.sections").alias("sec_ord", "s")
-    ).select("doc_id", "sec_ord", F.col("s.sec").alias("section"), F.col("s.txt").alias("txt"))
-    raw = sec.select(
-        "doc_id", "sec_ord", "section", F.posexplode(tokens_column("txt")).alias("raw_pos", "word")
-    ).filter(F.col("word") != "")
-    kept = raw.filter(~F.col("word").isin(sorted(stop_words())))
-    w = Window.partitionBy("doc_id").orderBy("sec_ord", "raw_pos")
-    postings = kept.withColumn("position", F.row_number().over(w) - F.lit(1)).select(
-        "doc_id", "section", "word", "position"
+    # kept-token filtering happens inside each section's array (order-
+    # preserving), then one flatten over the document's sections in order —
+    # posexplode yields the reference's cross-section running position with
+    # NO per-document shuffle + window (the previous formulation's Exchange +
+    # Sort over every token of the corpus).
+    flat = F.flatten(
+        F.transform(
+            F.col("p.sections"),
+            lambda s: F.transform(
+                kept_tokens_column(s["txt"]),
+                lambda t: F.struct(s["sec"].alias("section"), t.alias("word")),
+            ),
+        )
+    )
+    postings = parsed.select("doc_id", F.posexplode(flat).alias("position", "sw")).select(
+        "doc_id", "sw.section", "sw.word", "position"
     )
     from sher_look_spark.operators.indexer import document_sizes, idf_table
 

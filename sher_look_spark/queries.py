@@ -1029,7 +1029,13 @@ def q_q4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = _spark_tokens(spark, sf_dir).withColumn("section", F.lit("body"))
     sizes = document_sizes(toks)
-    idf = idf_table(toks, n_docs=docs.count())
+    # idf restricted to the query terms BEFORE the df aggregation: only the
+    # query terms' idf rows can ever join tfidf_scores' freqs (inner on
+    # word), and per-word df is unchanged by dropping other words — so the
+    # result is identical while the countDistinct pass shrinks from the
+    # whole corpus to the terms' postings (guide §2.3: don't compute what
+    # you throw away).
+    idf = idf_table(toks.filter(F.col("word").isin(QUERY_TERMS)), n_docs=docs.count())
     scores = tfidf_scores(toks, sizes, idf, QUERY_TERMS)
     return scores.select("doc_id", F.round("tfidf", 6).alias("tfidf"))
 
@@ -1264,7 +1270,9 @@ def q_q6_phrase_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = phrase_match(toks, PHRASE)
     toks_m = toks.join(matched, "doc_id", "left_semi")
     sizes = document_sizes(toks)
-    idf = idf_table(toks, n_docs=docs.count()).filter(F.col("word") == PHRASE[0])
+    # df aggregation over PHRASE[0]'s postings only — identical idf row,
+    # without a corpus-wide countDistinct (the .filter kept only this row)
+    idf = idf_table(toks.filter(F.col("word") == PHRASE[0]), n_docs=docs.count())
     scores = tfidf_scores(toks_m, sizes, idf, PHRASE, missing_idf_default=1.0)
     return scores.select("doc_id", F.round(F.col("tfidf"), 6).alias("phrase_score"))
 
@@ -1313,7 +1321,8 @@ def _blended(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = _spark_tokens(spark, sf_dir).withColumn("section", F.lit("body"))
     sizes = document_sizes(toks)
-    idf = idf_table(toks, n_docs=docs.count())
+    # same query-term idf pruning as q4 (see q_q4_tfidf) — identical result
+    idf = idf_table(toks.filter(F.col("word").isin(QUERY_TERMS)), n_docs=docs.count())
     scores = tfidf_scores(toks, sizes, idf, QUERY_TERMS)
     return blend_scores(scores, _synth_pr(spark, sf_dir))
 
@@ -1633,7 +1642,10 @@ def q_sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sher_look_spark.operators.similarity import embedding_neardup_pairs
 
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
-    pairs = embedding_neardup_pairs(emb, threshold=0.3, n_planes=2, n_tables=24)
+    # dim=64 is the embeddings-table width at every sf (also hard-wired in
+    # sql_sim_lsh_topk's oracle planes); passing it skips the .first()
+    # driver action the operator would otherwise run just to learn it
+    pairs = embedding_neardup_pairs(emb, threshold=0.3, n_planes=2, n_tables=24, dim=64)
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
