@@ -124,6 +124,14 @@ class CrawlConfig:
     # table). Identical slot numbers either way; the threshold only trades
     # the extra exchange against the single-reducer risk.
     politeness_window_max: int = 1_000_000
+    # Child discovery ranks: up to this many wave CANDIDATES, the per-parent
+    # offset table (<= one row per committed parent) is prefix-summed with a
+    # single-partition window — the whole child-rank assignment then stays
+    # LAZY (zero driver actions; it materializes inside the concurrent write
+    # pool). Above it, the distributed two-pass machinery
+    # (_parent_offset_ranks: range partition + per-range sums + one tiny
+    # collect) takes over — a 10^8-parent offset table must not hit one task.
+    rank_window_max: int = 1_000_000
     web: synth.SynthWebConfig = field(default_factory=synth.SynthWebConfig)
 
 
@@ -864,10 +872,19 @@ class CrawlEngine:
                     .filter(F.col("crn") == 1)
                     .drop("crn")
                 )
-            accepted = accepted.persist()
+            if n_wave > self.cfg.rank_window_max:
+                # big-wave path only: _parent_offset_ranks below references
+                # `accepted` directly (counts + ranked join). On the lazy
+                # small-wave path the SINGLE consumer is `windowed` (cached
+                # itself), so a second cache of the same children would only
+                # double the wave's memory churn.
+                accepted = accepted.persist()
 
-            # links table: per-parent distinct children sorted by URL length
-            # (stable on document order), limited per parent depth (C11)
+            # links top-K, child discovery ranks and the per-parent counts
+            # all key on parent_rank — ONE hash exchange of the children
+            # serves every one of them (guide §2.4: operations keyed the same
+            # way share an exchange). Both row_numbers ride the same
+            # partitioning (two sorts, one shuffle).
             limit_expr = F.coalesce(
                 *[
                     F.when(F.col("parent_depth") == d, F.lit(k))
@@ -878,12 +895,24 @@ class CrawlEngine:
             w_parent = Window.partitionBy("parent_rank").orderBy(
                 F.length("child"), "link_pos"
             )
+            w_crank = Window.partitionBy("parent_rank").orderBy("link_pos")
+            windowed = (
+                accepted.withColumn("k", limit_expr)
+                .withColumn("lrn", F.row_number().over(w_parent))
+                .withColumn("_crk", F.row_number().over(w_crank))
+            )
+            if n_wave <= self.cfg.rank_window_max:
+                # lazy small-wave path: three consumers (links write, pending
+                # write, the accepted count) hit `windowed` CONCURRENTLY in
+                # the write pool below — without the cache each would
+                # recompute the exchange + both sorts (and on an
+                # AQE-coalesced tiny wave, serially on 1 task)
+                windowed = windowed.persist()
+                self._wave_handles.append(windowed)
             # links write happens in the concurrent write pool below — only
             # the DataFrame is built here
             links_df = (
-                accepted.withColumn("k", limit_expr)
-                .withColumn("lrn", F.row_number().over(w_parent))
-                .filter(F.col("lrn") <= F.col("k"))
+                windowed.filter(F.col("lrn") <= F.col("k"))
                 .select(
                     F.col("parent_url"),
                     F.col("child").alias("child_url"),
@@ -893,18 +922,47 @@ class CrawlEngine:
             )
             _mark("children_links")
 
-            ranked_children, _rank_tmp, n_accepted = _parent_offset_ranks(
-                accepted.select(
-                    F.col("child").alias("url"),
-                    (F.col("parent_depth") + 1).alias("depth"),
-                    F.col("parent_rank"),
-                    F.col("link_pos"),
-                ),
-                next_rank,
-            )
-            new_pending = ranked_children.select("url", "depth", "rank")
+            if n_wave <= self.cfg.rank_window_max:
+                # Lazy child ranks: the per-parent offset table (<= one row
+                # per committed parent) prefix-sums in a single-partition
+                # window, so NO driver action runs here — the sampling job +
+                # two collects of the two-pass path disappear from the wave's
+                # serial critical path and the whole child-rank plan
+                # materializes inside the concurrent write pool below.
+                # n_accepted is resolved there too (accepted.count from
+                # cache).
+                counts = windowed.groupBy("parent_rank").agg(
+                    F.count(F.lit(1)).alias("_n")
+                )
+                w_off = Window.orderBy("parent_rank").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+                offsets = counts.withColumn(
+                    "_off",
+                    F.lit(next_rank) + F.coalesce(F.sum("_n").over(w_off), F.lit(0)),
+                ).select("parent_rank", "_off")
+                new_pending = (
+                    windowed.join(offsets, "parent_rank")
+                    .select(
+                        F.col("child").alias("url"),
+                        (F.col("parent_depth") + 1).alias("depth"),
+                        (F.col("_off") + F.col("_crk") - 1).alias("rank"),
+                    )
+                )
+                _rank_tmp = None
+                n_accepted = None  # resolved in the write pool
+            else:
+                ranked_children, _rank_tmp, n_accepted = _parent_offset_ranks(
+                    accepted.select(
+                        F.col("child").alias("url"),
+                        (F.col("parent_depth") + 1).alias("depth"),
+                        F.col("parent_rank"),
+                        F.col("link_pos"),
+                    ),
+                    next_rank,
+                )
+                new_pending = ranked_children.select("url", "depth", "rank")
             _mark("child_rank")
-            next_rank += n_accepted
         else:
             new_pending = self.spark.createDataFrame([], PENDING_SCHEMA)
             _rank_tmp = None
@@ -928,6 +986,8 @@ class CrawlEngine:
         # deferrals; depth histogram maintained incrementally so the next wave
         # needs no counting job (slow-path counts only on the rare stop/defer)
         next_depths: dict[int, int] = {d: n for d, n in depth_counts.items() if d != min_depth}
+        # n_accepted is None on the lazy child-rank path — its histogram and
+        # next_rank contributions are applied after the write pool resolves it
         if n_accepted:
             next_depths[min_depth + 1] = next_depths.get(min_depth + 1, 0) + n_accepted
         leftovers = []
@@ -1014,7 +1074,7 @@ class CrawlEngine:
                 while (self.cfg.bloom_salts * bloom_bits) // 12 < 2 * seen_ub_new:
                     bloom_bits *= 2
                 bloom_df = None  # forces the full rebuild path in _stage_bloom
-        with ThreadPoolExecutor(max_workers=len(write_jobs) + 2) as pool:
+        with ThreadPoolExecutor(max_workers=len(write_jobs) + 3) as pool:
             futures = {
                 name: pool.submit(self.store.stage_write, df, table, w, pb)
                 for name, (df, table, w, pb) in write_jobs.items()
@@ -1025,11 +1085,22 @@ class CrawlEngine:
                 else None
             )
             stats_fut = pool.submit(_cstats_agg) if stats_deferred else None
+            # lazy child-rank path: the accepted-children count rides the
+            # pool too (reads the `windowed` cache the links/pending write
+            # jobs materialize) instead of standing as its own serial job
+            acc_fut = pool.submit(windowed.count) if n_accepted is None else None
             rels = {name: fut.result() for name, fut in futures.items()}
             bloom_rel = bloom_fut.result() if bloom_fut is not None else None
             if stats_fut is not None:
                 cstats = stats_fut.result()
                 n_committed = cstats.n
+            if acc_fut is not None:
+                n_accepted = acc_fut.result()
+                if n_accepted:
+                    next_depths[min_depth + 1] = (
+                        next_depths.get(min_depth + 1, 0) + n_accepted
+                    )
+        next_rank += n_accepted
         _mark("table_writes")
         appends: dict[str, list[str]] = {
             "images": [rels["images"]],

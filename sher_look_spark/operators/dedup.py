@@ -105,7 +105,17 @@ def minhash_lsh_pairs(
     times (and candidate rows would be wide before the pair dedup). The
     signatures are re-attached ONCE per deduped pair for the est_jaccard
     verify, so each signature crosses exactly one shuffle boundary
-    (guide §2.3: shuffle keys and metadata, not payloads)."""
+    (guide §2.3: shuffle keys and metadata, not payloads).
+
+    The signature table is referenced four times (two band sides + two
+    re-attach sides): it is persisted here unless the caller already cached
+    it, otherwise the salted-sha256 aggregation would recompute per
+    reference. (Unreferenced cache entries are reclaimed by Spark's
+    ContextCleaner once the result frame is dropped.)"""
+    from pyspark import StorageLevel
+
+    if sigs.storageLevel == StorageLevel.NONE:
+        sigs = sigs.persist()
     rows_per_band = F.floor(F.size("signature") / F.lit(bands)).cast("int")
     # bucket key = the band's slice itself (joined); no hash needed — equal
     # slices ARE the LSH collision condition, and the key stays DuckDB-checkable

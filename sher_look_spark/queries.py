@@ -86,7 +86,18 @@ def _spark_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _TOKEN_CACHE.get(key)
     if df is None:
-        df = explode_tokens(load(spark, sf_dir, "documents"), "text").persist()
+        # columnar-cache compression off for THIS relation only (the flag is
+        # captured when the cache entry is registered): building the token
+        # cache is on the first consumer's critical path, and compressing
+        # three narrow columns costs more build CPU than the reads save
+        # (measured ~2s of ~5.7s cold build at sf1.0)
+        ck = "spark.sql.inMemoryColumnarStorage.compressed"
+        old = spark.conf.get(ck)
+        spark.conf.set(ck, "false")
+        try:
+            df = explode_tokens(load(spark, sf_dir, "documents"), "text").persist()
+        finally:
+            spark.conf.set(ck, old)
         _TOKEN_CACHE[key] = df
     return df
 
