@@ -52,9 +52,15 @@ def pool(campaigns: list[dict]) -> dict:
 
 
 def main() -> None:
-    out_path = sys.argv[1]
+    args = sys.argv[1:]
+    headline_label = None
+    for a in list(args):
+        if a.startswith("--headline="):
+            headline_label = a.split("=", 1)[1]
+            args.remove(a)
+    out_path = args[0]
     by_label: dict[str, list[dict]] = defaultdict(list)
-    for arg in sys.argv[2:]:
+    for arg in args[1:]:
         label, path = arg.split("=", 1)
         with open(path) as fh:
             text = fh.read()
@@ -62,20 +68,25 @@ def main() -> None:
         line = [l for l in text.strip().splitlines() if l.startswith("{")][-1]
         by_label[label].append(json.loads(line))
     protocols = {label: pool(cs) for label, cs in by_label.items()}
-    # headline value: prefer the executor-level protocol (the rule's own
-    # shape: N vs 4N executor JVMs), then the heavy 8->32 thread protocol,
-    # else the first label alphabetically (all labels are explicit either way)
-    cluster = [k for k in protocols if k.startswith("cluster")]
-    headline = (
-        protocols[max(cluster, key=lambda k: protocols[k]["value"])]
-        if cluster
-        else protocols.get("heavy_8_32") or protocols[sorted(protocols)[0]]
-    )
+    # Headline value: PINNED to a pre-declared protocol via --headline=LABEL
+    # (round-5 ADVICE: choosing max() over protocols after the fact is a
+    # selection-bias risk). The legacy preference order remains only as the
+    # fallback when no label is declared.
+    if headline_label is not None:
+        headline = protocols[headline_label]
+    else:
+        cluster = [k for k in protocols if k.startswith("cluster")]
+        headline = (
+            protocols[max(cluster, key=lambda k: protocols[k]["value"])]
+            if cluster
+            else protocols.get("heavy_8_32") or protocols[sorted(protocols)[0]]
+        )
     doc = {
         "metric": "crawl_scaling_efficiency",
         "value": headline["value"],
         "unit": "ratio",
         "target": ">=0.8",
+        "headline_protocol": headline_label,
         "protocols": protocols,
     }
     with open(out_path, "w") as fh:

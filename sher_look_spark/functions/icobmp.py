@@ -75,7 +75,7 @@ def _unrle(data: bytes, w: int, h: int, four_bit: bool) -> np.ndarray:
             else:
                 run = [val] * cnt
             end = min(x + cnt, w)
-            if y < h:
+            if y < h and x < w:  # runs overflowing the row clip, not crash
                 out[y, x:end] = run[: end - x]
             x += cnt
         elif val == 0:  # end of line
@@ -103,7 +103,7 @@ def _unrle(data: bytes, w: int, h: int, four_bit: bool) -> np.ndarray:
                 pix = list(data[i : i + cnt])
                 i += cnt + (cnt % 2)
             end = min(x + cnt, w)
-            if y < h:
+            if y < h and x < w:  # runs overflowing the row clip, not crash
                 out[y, x:end] = pix[: end - x]
             x += cnt
     return out[::-1]  # RLE rows are stored bottom-up
@@ -121,6 +121,11 @@ def _decode_dib(
     if off + 12 > len(data):
         raise BmpError("truncated DIB header")
     (hsize,) = struct.unpack_from("<I", data, off)
+    # the declared header must fit entirely before any unpack_from below —
+    # a truncated header would otherwise surface as struct.error, breaking
+    # the module's BmpError boundary for untrusted favicon bytes
+    if off + hsize > len(data):
+        raise BmpError("truncated DIB header body")
     top_down = False
     masks = None
     palette_entry = 4
@@ -139,6 +144,8 @@ def _decode_dib(
             # immediately after a 40-byte header; the alpha mask exists
             # only from the 56-byte (V3) header on
             cnt = 4 if hsize >= 56 else 3
+            if off + 40 + 4 * cnt > len(data):  # masks may trail a 40-byte header
+                raise BmpError("truncated bitfield masks")
             avail = struct.unpack_from(f"<{cnt}I", data, off + 40)
             masks = (avail + (0,))[:4]
     else:

@@ -214,9 +214,16 @@ def decode_png_rgba(data: bytes, max_pixels: int | None = None) -> np.ndarray:
         if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
             raise PngError(f"CRC mismatch in {tag!r}")
         if tag == b"IHDR":
+            if length != 13:  # spec-fixed size; a short payload would be a
+                raise PngError("bad IHDR length")  # struct.error otherwise
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
+            if w == 0 or h == 0:
+                # spec requires nonzero dims; a 0-dim stream would decode to
+                # an empty array that the max_pixels cap (0 > cap is false)
+                # never rejects and that NaNs image_features downstream
+                raise PngError("zero image dimension")
             if comp != 0 or filt != 0:
                 raise PngError("unknown compression/filter method")
             if ctype not in _CHANNELS or depth not in _LEGAL_DEPTHS[ctype]:

@@ -25,6 +25,14 @@ from sher_look_spark.functions.icobmp import (
 # ---------------------------------------------------------------- gdk oracle
 
 
+# probe at import time so gdk-parametrized tests SKIP (not ERROR) on hosts
+# without gdk-pixbuf — same pattern as test_png.py's requires_libpng
+try:
+    _gdk_probe = ctypes.CDLL("libgdk_pixbuf-2.0.so.0")
+except OSError:  # pragma: no cover
+    _gdk_probe = None
+
+
 class _Gdk:
     def __init__(self) -> None:
         gp = ctypes.CDLL("libgdk_pixbuf-2.0.so.0")
@@ -69,6 +77,8 @@ class _Gdk:
 
 @pytest.fixture(scope="module")
 def gdk() -> _Gdk:
+    if _gdk_probe is None:
+        pytest.skip("system gdk-pixbuf not available")
     return _Gdk()
 
 
@@ -192,6 +202,33 @@ def test_bmp_decode_cap_and_garbage():
         decode_bmp(b"BM" + b"\x00" * 10)
     with pytest.raises(BmpError):
         decode_bmp(b"not a bmp at all")
+
+
+def test_bmp_truncated_header_body_raises_bmperror():
+    """A 40-byte BITMAPINFOHEADER whose body is cut off must raise BmpError,
+    not leak struct.error through the module's declared error boundary."""
+    data = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + struct.pack("<I", 40) + b"\x00" * 8
+    with pytest.raises(BmpError):
+        decode_bmp(data)
+
+
+def test_bmp_rle8_run_overflowing_row_clips():
+    """Consecutive RLE8 runs overflowing the row width must clip (or raise
+    BmpError), never crash with a raw numpy broadcast ValueError."""
+    w, h = 4, 2
+    # palette: 2 entries; rows bottom-up; run of 3 then run of 4 on a 4-px row
+    rle = bytes([3, 1, 4, 0, 0, 0, 3, 1, 4, 0, 0, 1])  # two rows, EOL, EOB
+    pal = bytes([0, 0, 0, 0, 255, 255, 255, 0])
+    hdr40 = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(rle), 0, 0, 2, 0)
+    off = 14 + 40 + len(pal)
+    data = b"BM" + struct.pack("<IHHI", off + len(rle), 0, 0, off) + hdr40 + pal + rle
+    try:
+        out = decode_bmp(data)
+        assert out.shape[:2] == (h, w)  # clipped decode, no crash
+    except BmpError:
+        pass  # rejecting malformed RLE is equally acceptable
+    except ValueError as e:  # pragma: no cover
+        raise AssertionError(f"raw numpy error leaked: {e}") from e
 
 
 # --------------------------------------------------------------------- ICO

@@ -284,6 +284,43 @@ def test_truncated_raises():
         decode_png_rgba(data[: len(data) // 2])
 
 
+def _raw_chunk(tag: bytes, payload: bytes) -> bytes:
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(payload)) + tag + payload
+        + struct.pack(">I", _z.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def test_zero_dimension_ihdr_raises():
+    """Spec requires nonzero width/height; a crafted 0-width stream must be
+    rejected (an empty decode slips past the max_pixels cap and NaNs the
+    feature means downstream)."""
+    import struct as _s
+    import zlib as _z
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    for w, h in ((0, 3), (3, 0)):
+        ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        idat = _z.compress(b"\x00")
+        data = (
+            sig + _raw_chunk(b"IHDR", ihdr) + _raw_chunk(b"IDAT", idat)
+            + _raw_chunk(b"IEND", b"")
+        )
+        with pytest.raises(PngError, match="zero image dimension"):
+            decode_png_rgba(data)
+
+
+def test_short_ihdr_raises_pngerror():
+    """An IHDR payload shorter than the spec's 13 bytes must raise PngError,
+    not struct.error."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    data = sig + _raw_chunk(b"IHDR", b"\x00" * 8) + _raw_chunk(b"IEND", b"")
+    with pytest.raises(PngError, match="bad IHDR length"):
+        decode_png_rgba(data)
+
+
 def test_imaging_dispatch_full_decoder():
     # the crawl-path decode_image('png') must handle real-web streams now
     from sher_look_spark.crawler import imaging
