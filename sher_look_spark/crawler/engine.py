@@ -43,7 +43,11 @@ from pyspark.sql import types as T
 from sher_look_spark.crawler import synth
 from sher_look_spark.crawler.simulator import child_limit
 from sher_look_spark.crawler.storage import SnapshotStore
-from sher_look_spark.functions.hashing import sha256_b64url, url_hash64
+from sher_look_spark.functions.hashing import (
+    sha256_b64url,
+    sha256_b64url_col,  # HtmlSaver.java:21-30 names files sha256(url)
+    url_hash64_col,
+)
 from sher_look_spark.functions.robots import parse_robots_txt, robots_allowed_udf
 from sher_look_spark.functions.urls import canonicalize_href, normalize_url
 
@@ -135,6 +139,31 @@ class CrawlConfig:
     web: synth.SynthWebConfig = field(default_factory=synth.SynthWebConfig)
 
 
+# applicationIds whose parquet WRITE path is already initialized. The first
+# parquet write of a Spark session pays one-time costs the read path does
+# not share (output committer + write-path codegen + codec init): measured
+# 2.5 s on this box via cProfile — charged to whatever wave (or seed) runs
+# first. Engine construction triggers it once so waves measure crawl work.
+_WRITE_WARMED: set[str] = set()
+
+
+def _warm_write_path(spark: SparkSession) -> None:
+    app = spark.sparkContext.applicationId
+    if app in _WRITE_WARMED:
+        return
+    _WRITE_WARMED.add(app)
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sherlook-warmwrite-")
+    try:
+        spark.createDataFrame([("w", 0, 0)], PENDING_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "p"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _normalize_udf():
     from pyspark.sql.functions import pandas_udf
 
@@ -144,16 +173,6 @@ def _normalize_udf():
         return urls.map(normalize_url)
 
     return norm
-
-
-def _urlhash_udf():
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf(T.LongType())
-    def uh(urls: pd.Series) -> pd.Series:
-        return urls.map(lambda u: url_hash64(u) if u is not None else None)
-
-    return uh
 
 
 def _canonicalize_href_udf():
@@ -343,8 +362,8 @@ class CrawlEngine:
         self.cfg = cfg
         self.store = SnapshotStore(state_dir)
         self._norm = _normalize_udf()
-        self._uh = _urlhash_udf()
         self._canon = _canonicalize_href_udf()
+        _warm_write_path(spark)
         self._wave_handles: list[DataFrame] = []
 
     # ------------------------------------------------------------------ setup
@@ -692,7 +711,7 @@ class CrawlEngine:
         cand = (
             wave_cand.withColumn("norm", self._norm("url"))
             .filter(F.col("norm").isNotNull())
-            .withColumn("url_hash", self._uh("norm"))
+            .withColumn("url_hash", url_hash64_col("norm"))
             .withColumn("host", F.parse_url("norm", F.lit("HOST")))
             .withColumn("path", F.coalesce(F.parse_url("norm", F.lit("PATH")), F.lit("")))
         ).persist()
@@ -1021,7 +1040,7 @@ class CrawlEngine:
         # tier; scheduled_slot records the politeness offset when time-budget
         # politeness is on.
         images_df = committed.select(
-            self._imgid("url").alias("image_id"),
+            sha256_b64url_col("url").alias("image_id"),
             "url", "depth", "rank", "title", "description", "content_hash",
             "bytes", "w", "h", "fmt", "caption", "phash",
             F.lit(wave).alias("wave"),
@@ -1165,15 +1184,6 @@ class CrawlEngine:
             h.unpersist()
         self._wave_handles = []
         return {"done": False, **metrics_row, **new_state}
-
-    def _imgid(self, col: str):
-        from pyspark.sql.functions import pandas_udf
-
-        @pandas_udf(T.StringType())
-        def imgid(urls: pd.Series) -> pd.Series:
-            return urls.map(sha256_b64url)  # HtmlSaver names files sha256(url)
-
-        return imgid(col)
 
     def _apply_queue_cap_exact(
         self, polled_wave: DataFrame, n_pending_total: int, children_all: DataFrame

@@ -52,6 +52,27 @@ def sha256_b64url_udf(payload: pd.Series) -> pd.Series:
     return payload.map(lambda b: sha256_b64url(b) if b is not None else None)
 
 
+def url_hash64_col(col: Column | str) -> Column:
+    """JVM-expression twin of :func:`url_hash64` — bit-identical values
+    (pinned by tests) without an ArrowEvalPython stage in the plan: sha2's
+    hex output's first 15 chars ARE the first 60 bits, and conv(_, 16, 10)
+    re-reads them as the same non-negative int64. Null in -> null out,
+    matching the pandas UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.sha2(c, 256), 1, 15), 16, 10).cast("long")
+
+
+def sha256_b64url_col(col: Column | str) -> Column:
+    """JVM-expression twin of :func:`sha256_b64url` (base64url, no padding),
+    for string inputs: unhex(sha2) recovers the raw digest, base64 of 32
+    bytes is one 44-char line (no MIME wrapping), translate maps the two
+    url-unsafe chars, and the '='-strip drops padding."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.translate(F.base64(F.unhex(F.sha2(c, 256))), "+/", "-_"), "=+$", ""
+    )
+
+
 def sha256_hex(col: Column | str) -> Column:
     """JVM-side hex sha256 (whole-stage-codegen friendly) for oracle-checked
     dedup queries where base64url parity is not required."""

@@ -201,3 +201,36 @@ def test_lazy_child_ranks_equal_two_pass(spark, tmp_path):
         )
 
     assert crawl("lazy", 10**9) == crawl("twopass", 0)
+
+
+def test_jvm_hash_columns_match_python(spark):
+    """url_hash64_col / sha256_b64url_col (JVM expressions — no
+    ArrowEvalPython stage in the wave plan) are bit-identical to the Python
+    functions the simulator and the fetch mapper use."""
+    from sher_look_spark.functions.hashing import (
+        sha256_b64url,
+        sha256_b64url_col,
+        url_hash64,
+        url_hash64_col,
+    )
+
+    urls = [
+        "http://example.com/",
+        "http://h0.example.com/page/123?q=a&b=2",
+        "",
+        "héllo/ünïcode☃",
+        "x" * 300,
+        None,
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    rows = df.select(
+        "u",
+        url_hash64_col("u").alias("h"),
+        sha256_b64url_col("u").alias("b"),
+    ).collect()
+    for r in rows:
+        if r.u is None:
+            assert r.h is None and r.b is None
+        else:
+            assert r.h == url_hash64(r.u)
+            assert r.b == sha256_b64url(r.u)
