@@ -25,17 +25,17 @@ def entry(spark: SparkSession) -> DataFrame:
     query by TF-IDF and attach hit snippets."""
     from pyspark.sql import functions as F
 
-    from sher_look_spark.operators.indexer import document_sizes, idf_table
-    from sher_look_spark.operators.ranking import snippets, tfidf_scores
+    from sher_look_spark.operators.indexer import idf_table
+    from sher_look_spark.operators.ranking import snippets, tfidf_scores_onepass
     from sher_look_spark.queries import QUERY_TERMS, _spark_tokens, load
 
     sf_dir = "/root/testdata/sf0.001"
     docs = load(spark, sf_dir, "documents")
     toks = _spark_tokens(spark, sf_dir).withColumn("section", F.lit("body"))
-    sizes = document_sizes(toks)
-    # query-term idf pruning (identical result — see queries.q_q4_tfidf)
+    # query-term idf pruning + one-pass scorer (identical result — see
+    # queries.q_q4_tfidf)
     idf = idf_table(toks.filter(F.col("word").isin(QUERY_TERMS)), n_docs=docs.count())
-    scores = tfidf_scores(toks, sizes, idf, QUERY_TERMS)
+    scores = tfidf_scores_onepass(toks, idf, QUERY_TERMS)
     # paginate FIRST (TakeOrderedAndProject), then snippets for just the
     # shown docs — the reference's order (Ranker.java:623-637 -> :527-621);
     # corpus-wide snippet generation is unbounded for a frequent term

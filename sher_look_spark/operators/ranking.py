@@ -61,6 +61,65 @@ def tfidf_scores(
     return scored.groupBy(doc_col).agg(F.sum("contrib").alias("tfidf"))
 
 
+def tfidf_scores_onepass(
+    postings: DataFrame,
+    idf: DataFrame,
+    query_terms: list[str],
+    doc_col: str = "doc_id",
+    missing_idf_default: float = 0.0,
+) -> DataFrame:
+    """Q4 scorer with the same formula as :func:`tfidf_scores` but ONE pass
+    over the postings and ONE exchange (guide §2.3 "aggregate before you
+    shuffle"): document_size and the per-term section-weighted frequencies
+    are conditional aggregates of a single per-doc groupBy — the previous
+    shape scanned the postings twice (hits filter + doc-size count) and
+    shuffled three times (freqs agg, sizes join, final per-doc sum).
+
+    Equivalence notes (pinned by tests/test_ranking.py):
+    * weighted freq Σ_tokens weight(section) is EXACT in fp (counts times
+      {1.0, 1.5, 2.0}), so merging the per-(word, section) dimension into
+      the agg loses nothing;
+    * a doc scores iff it has ≥1 query-term posting (any weighted freq > 0),
+      the inner freqs⋈sizes semantics;
+    * terms with no idf row take ``missing_idf_default``; a zero-frequency
+      term contributes +0.0 either way.
+
+    Implied contract difference from tfidf_scores: doc size IS the per-doc
+    posting count of ``postings`` (true for every query-tier caller, where
+    sizes = document_sizes(same frame)); webindex keeps the two-table form
+    because its sizes come from the incremental doc_sizes table."""
+    w = section_weight_col()
+    aggs = [F.count(F.lit(1)).alias("_docsize")]
+    for i, t in enumerate(query_terms):
+        aggs.append(
+            F.sum(F.when(F.col("word") == t, w).otherwise(F.lit(0.0))).alias(f"_wf{i}")
+        )
+    per_doc = postings.groupBy(doc_col).agg(*aggs)
+    wf_cols = [F.col(f"_wf{i}") for i in range(len(query_terms))]
+    hit = per_doc.filter(F.greatest(*wf_cols, F.lit(0.0)) > 0)
+    # per-term idf as a 1-row frame (agg over 0 groups always yields one
+    # row, so an empty idf table degrades to all-default, matching the
+    # left-join semantics of tfidf_scores)
+    ivals = idf.agg(
+        *[
+            F.first(F.when(F.col("word") == t, F.col("idf")), ignorenulls=True).alias(
+                f"_idf{i}"
+            )
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    scored = hit.crossJoin(F.broadcast(ivals))
+    contrib = None
+    for i in range(len(query_terms)):
+        c = (
+            F.col(f"_wf{i}")
+            / F.col("_docsize")
+            * F.coalesce(F.col(f"_idf{i}"), F.lit(missing_idf_default))
+        )
+        contrib = c if contrib is None else contrib + c
+    return scored.select(doc_col, contrib.alias("tfidf"))
+
+
 def pagerank(
     spark: SparkSession,
     vertices: DataFrame,

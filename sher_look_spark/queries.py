@@ -1034,20 +1034,20 @@ def q_i8_postings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_q4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4: TF-IDF scores for a fixed keyword query over the corpus."""
-    from sher_look_spark.operators.indexer import document_sizes, idf_table
-    from sher_look_spark.operators.ranking import tfidf_scores
+    from sher_look_spark.operators.indexer import idf_table
+    from sher_look_spark.operators.ranking import tfidf_scores_onepass
 
     docs = load(spark, sf_dir, "documents")
     toks = _spark_tokens(spark, sf_dir).withColumn("section", F.lit("body"))
-    sizes = document_sizes(toks)
     # idf restricted to the query terms BEFORE the df aggregation: only the
-    # query terms' idf rows can ever join tfidf_scores' freqs (inner on
-    # word), and per-word df is unchanged by dropping other words — so the
-    # result is identical while the countDistinct pass shrinks from the
-    # whole corpus to the terms' postings (guide §2.3: don't compute what
-    # you throw away).
+    # query terms' idf rows can ever reach the scorer (missing -> default),
+    # and per-word df is unchanged by dropping other words — so the result
+    # is identical while the countDistinct pass shrinks from the whole
+    # corpus to the terms' postings (guide §2.3: don't compute what you
+    # throw away). The one-pass scorer folds doc sizes + per-term weighted
+    # freqs into a single per-doc aggregation (1 exchange; was 3).
     idf = idf_table(toks.filter(F.col("word").isin(QUERY_TERMS)), n_docs=docs.count())
-    scores = tfidf_scores(toks, sizes, idf, QUERY_TERMS)
+    scores = tfidf_scores_onepass(toks, idf, QUERY_TERMS)
     return scores.select("doc_id", F.round("tfidf", 6).alias("tfidf"))
 
 
@@ -1326,15 +1326,14 @@ pr AS (
 
 
 def _blended(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sher_look_spark.operators.indexer import document_sizes, idf_table
-    from sher_look_spark.operators.ranking import blend_scores, tfidf_scores
+    from sher_look_spark.operators.indexer import idf_table
+    from sher_look_spark.operators.ranking import blend_scores, tfidf_scores_onepass
 
     docs = load(spark, sf_dir, "documents")
     toks = _spark_tokens(spark, sf_dir).withColumn("section", F.lit("body"))
-    sizes = document_sizes(toks)
-    # same query-term idf pruning as q4 (see q_q4_tfidf) — identical result
+    # same query-term idf pruning + one-pass scorer as q4 (see q_q4_tfidf)
     idf = idf_table(toks.filter(F.col("word").isin(QUERY_TERMS)), n_docs=docs.count())
-    scores = tfidf_scores(toks, sizes, idf, QUERY_TERMS)
+    scores = tfidf_scores_onepass(toks, idf, QUERY_TERMS)
     return blend_scores(scores, _synth_pr(spark, sf_dir))
 
 

@@ -234,3 +234,56 @@ def test_jvm_hash_columns_match_python(spark):
         else:
             assert r.h == url_hash64(r.u)
             assert r.b == sha256_b64url(r.u)
+
+
+def test_tfidf_onepass_matches_two_table_scorer(spark):
+    """tfidf_scores_onepass (one per-doc aggregation pass) must match the
+    freqs/sizes/idf join formulation on a multi-section corpus, including
+    missing-idf terms and both missing-idf defaults, to fp-association
+    tolerance (weighted freqs are exact; only the final <=3-term sum may
+    reassociate)."""
+    import random
+
+    from sher_look_spark.operators.indexer import document_sizes, idf_table
+    from sher_look_spark.operators.ranking import tfidf_scores, tfidf_scores_onepass
+
+    random.seed(7)
+    words = ["spark", "merge", "vector", "alpha", "beta"]
+    secs = ["title", "header", "body"]
+    rows = [
+        (d, random.choice(words), random.choice(secs), p)
+        for d in range(30)
+        for p in range(random.randint(3, 25))
+    ]
+    toks = spark.createDataFrame(rows, "doc_id int, word string, section string, position int")
+    sizes = document_sizes(toks)
+    idf = idf_table(toks.filter(F.col("word").isin(["spark", "merge"])), n_docs=30)
+    terms = ["spark", "merge", "zzz-missing"]
+    for dflt in (0.0, 1.0):
+        old = {r.doc_id: r.tfidf for r in tfidf_scores(toks, sizes, idf, terms, missing_idf_default=dflt).collect()}
+        new = {r.doc_id: r.tfidf for r in tfidf_scores_onepass(toks, idf, terms, missing_idf_default=dflt).collect()}
+        assert set(old) == set(new)
+        for k in old:
+            assert abs(old[k] - new[k]) < 1e-12
+
+
+def test_tfidf_onepass_plan_single_doc_exchange(spark):
+    """The one-pass scorer's claim: exactly one Exchange carries doc-level
+    rows (the per-doc aggregation — no sizes join, no second postings scan);
+    the only other shuffle is the SinglePartition fold of the <=|terms|-row
+    idf table feeding the broadcast."""
+    import re
+
+    from sher_look_spark.operators.ranking import tfidf_scores_onepass
+
+    toks = spark.createDataFrame(
+        [(1, "spark", "body", 0), (1, "merge", "body", 1), (2, "vector", "body", 0)],
+        "doc_id int, word string, section string, position int",
+    )
+    idf = spark.createDataFrame([("spark", 1.1)], "word string, idf double")
+    plan = _explain(tfidf_scores_onepass(toks, idf, ["spark", "merge"]))
+    doc_shuffles = re.findall(r"hashpartitioning\(doc_id", plan)
+    assert len(doc_shuffles) == 1, plan
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    n_single = len(re.findall(r"Arguments: SinglePartition", plan))
+    assert n_exchange - n_single == 1, plan
