@@ -76,6 +76,18 @@ def tokens_column(text_col: Column | str) -> Column:
     return F.split(F.lower(c), TOKEN_SPLIT_RE)
 
 
+@lru_cache(maxsize=1)
+def _kept_filter_sql() -> str:
+    """The stop-word NOT IN predicate pre-rendered as ONE SQL fragment.
+
+    Building ``t.isin(*1297 words)`` through the DataFrame API creates one
+    py4j literal per word — ~0.7 s of driver time per call (measured);
+    handing the parser a single string costs milliseconds and resolves to
+    the identical InSet predicate."""
+    quoted = ",".join("'" + w.replace("'", "''") + "'" for w in sorted(stop_words()))
+    return f"t -> t != '' AND t NOT IN ({quoted})"
+
+
 def kept_tokens_column(text_col: Column | str, drop_stop_words: bool = True) -> Column:
     """array<string> of KEPT tokens (empties and, optionally, stop words
     removed) in document order — entirely JVM-side.
@@ -84,6 +96,14 @@ def kept_tokens_column(text_col: Column | str, drop_stop_words: bool = True) -> 
     the reference position (positions advance only on kept tokens,
     Tokenizer.java:43): a later `posexplode` yields positions directly, with
     no per-document shuffle + window re-rank."""
+    if drop_stop_words and isinstance(text_col, str):
+        # string-name fast path: the whole tokenize+filter renders as one
+        # parsed SQL expression (see _kept_filter_sql); `\\W+` re-escapes
+        # for the SQL string literal
+        sql_re = TOKEN_SPLIT_RE.replace("\\", "\\\\")
+        return F.expr(
+            f"filter(split(lower({text_col}), '{sql_re}'), {_kept_filter_sql()})"
+        )
     c = tokens_column(text_col)
     if drop_stop_words:
         sw = sorted(stop_words())

@@ -76,6 +76,13 @@ def get_spark(
         # one python worker per core, reused across stages (default true but
         # pinned explicitly: a cold worker pays numpy import per stage)
         .config("spark.python.worker.reuse", "true")
+        # PySpark's per-DataFrame-call error-context capture walks the
+        # Python stack and pushes the call site to the JVM on EVERY
+        # transformation — measured ~30% of query-construction time in the
+        # wave loop / LSH builders (pure driver overhead, identical on any
+        # cluster). The flag exists precisely to trade that debug context
+        # away; errors still carry the JVM-side plan context.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Everything is PROCESS_LOCAL in local mode (and node-local on a
         # co-located cluster); never idle a core waiting for locality.
         .config("spark.locality.wait", "0s")
