@@ -832,9 +832,14 @@ class CrawlEngine:
         else:
             cstats = _cstats_agg()
             n_committed, n_raw_links = cstats.n, cstats.raw_links
+        # NOT persisted: its three consumers (children explode, images write,
+        # pages write) each re-derive it as a broadcast semi-join over the
+        # `fetched` cache — a second materialized copy of the payload bytes
+        # would double the wave's cache churn (and the first consumer's
+        # cache-write convoy) for three cheap cache scans.
         committed = fetched.join(
             F.broadcast(committed_slim.select("rank")), "rank", "left_semi"
-        ).persist()
+        )
         _mark("fetch_pipeline")
 
         # --- C10/C11: children of committed parents
@@ -1173,7 +1178,6 @@ class CrawlEngine:
         pending.unpersist()
         cand.unpersist()
         fetched.unpersist()
-        committed.unpersist()
         committed_slim.unpersist()
         robots_cached.unpersist()
         if accepted is not None:
