@@ -156,20 +156,14 @@ def pagerank(
     previous-iterate quirk — is returned from the stride's persisted chain.
     Driver actions: ~2 per stride instead of 1+ per iteration.
     """
-    edges = edges.persist()  # read once; every iteration joins against it
-    out_deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("out_degree"))
-    verts = vertices.join(out_deg, "id", "left").fillna({"out_degree": 0}).persist()
-    # one setup action yields both N and the initial dangling count
-    vstats = verts.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("out_degree") == 0, 1).otherwise(0)).alias("n_dangling"),
-    ).collect()[0]
-    n = vstats.n
+    # n first, from the vertex table alone (left-joining out_deg preserves
+    # the count): the fused single-partition path below then needs NO eager
+    # materialization of the edge derivation — its one cogroup job performs
+    # scan+out-degree+loop together, where the previous setup ran the edge
+    # distinct + degree join + a stats collect serially before the loop.
+    n = vertices.count()
     if n == 0:
-        verts.unpersist()
         return vertices.withColumn("rank", F.lit(0.0))
-    prev = verts.select("id", "out_degree", F.lit(1.0 / n).alias("rank")).persist()
-    dangling_mass = (vstats.n_dangling or 0) * (1.0 / n)
 
     base = (1.0 - damping) / n
     fixed = tol <= 0.0
@@ -203,11 +197,29 @@ def pagerank(
                 # scheduling overhead. Run the whole fixed power iteration
                 # as vectorized numpy inside that one task instead (guide
                 # §4.2: Spark distributes, native code computes) — identical
-                # formula, one job. Graphs above 65k vertices keep the
+                # formula, one job (edges are referenced once, so nothing
+                # here is persisted). Graphs above 65k vertices keep the
                 # chained distributed loop below.
                 return _pagerank_fused(
-                    spark, verts, edges, prev, n, base, damping, max_iter
+                    spark, vertices, edges, n, base, damping, max_iter
                 )
+            edges = edges.persist()  # every iteration joins against it
+            out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("out_degree")
+            )
+            verts = (
+                vertices.join(out_deg, "id", "left").fillna({"out_degree": 0}).persist()
+            )
+            n_dangling = (
+                verts.agg(
+                    F.sum(F.when(F.col("out_degree") == 0, 1).otherwise(0))
+                ).collect()[0][0]
+                or 0
+            )
+            prev = verts.select(
+                "id", "out_degree", F.lit(1.0 / n).alias("rank")
+            ).persist()
+            dangling_mass = n_dangling * (1.0 / n)
             return _pagerank_loop(
                 spark, verts, edges, prev, n, base, damping, dangling_mass,
                 tol, max_iter, checkpoint_every, fixed,
@@ -218,15 +230,19 @@ def pagerank(
 
 
 def _pagerank_fused(
-    spark, verts, edges, prev, n, base, damping, max_iter
+    spark, vertices, edges, n, base, damping, max_iter
 ) -> DataFrame:
     """Fixed-iteration power loop fused into ONE task for single-partition
-    graphs: vertices and edges cogroup on a constant key; the loop runs as
-    numpy array ops (np.add.at scatter for in-sums, boolean mask for the
-    dangling mass) — the same per-step formula as _pagerank_loop's fixed
-    mode, without 8x (plan analysis + shuffle + broadcast) scheduling cost.
-    The result is localCheckpoint'ed so callers see the same
-    materialized-frame contract as the chained path."""
+    graphs: the bare vertex and edge tables cogroup on a constant key; out
+    degrees, the dangling set and the loop all run as numpy array ops
+    (np.add.at scatter, boolean mask) — the same per-step formula as
+    _pagerank_loop's fixed mode, without 8x (plan analysis + shuffle +
+    broadcast) scheduling cost, and without materializing the degree join
+    at all (each cogroup side scans its input exactly once — an earlier
+    shape that joined a Spark-side out_deg into the vertex side re-ran the
+    whole edge derivation on both sides). The result is localCheckpoint'ed
+    so callers see the same materialized-frame contract as the chained
+    path."""
     import pandas as pd
 
     max_iter_ = int(max_iter)
@@ -238,12 +254,17 @@ def _pagerank_fused(
         import numpy as np
 
         ids = vpdf["id"].to_numpy()
-        outd = vpdf["out_degree"].to_numpy("float64")
         idx = {int(v): i for i, v in enumerate(ids)}
-        # edges touching ids outside `verts` contribute nothing — the same
-        # semantics as the chained path's src equi-join + verts left join
         src = np.fromiter((idx.get(int(s), -1) for s in epdf["src"]), dtype="int64", count=len(epdf))
         dst = np.fromiter((idx.get(int(d), -1) for d in epdf["dst"]), dtype="int64", count=len(epdf))
+        # out_degree counts EVERY edge leaving a vertex — including edges to
+        # ids outside `vertices` — matching the chained path's divisor
+        # (edges.groupBy(src).count before any dst filtering)
+        outd = np.zeros(n_, dtype="float64")
+        if len(src):
+            np.add.at(outd, src[src >= 0], 1.0)
+        # only edges with BOTH endpoints in the vertex set scatter rank —
+        # the chained path's src equi-join + verts left join semantics
         keep = (src >= 0) & (dst >= 0)
         src, dst = src[keep], dst[keep]
         dangling = outd == 0.0
@@ -257,15 +278,12 @@ def _pagerank_fused(
         return pd.DataFrame({"id": ids, "rank": rank})
 
     out = (
-        verts.select("id", "out_degree")
+        vertices.select("id")
         .groupBy(F.lit(0).alias("_g"))
         .cogroup(edges.select("src", "dst").groupBy(F.lit(0).alias("_g")))
         .applyInPandas(power, "id long, rank double")
         .localCheckpoint(eager=True)
     )
-    prev.unpersist()
-    verts.unpersist()
-    edges.unpersist()
     return out
 
 
