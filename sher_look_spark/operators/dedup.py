@@ -51,46 +51,82 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature array<string>) — min over per-permutation shingle hashes.
 
-    Entirely JVM-side: permutation i hashes each shingle with a salted sha256
-    and keeps the first 16 hex chars (64 bits). Fixed-width hex strings order
+    Permutation i hashes each shingle with a salted sha256 and keeps the
+    first 16 hex chars (64 bits). Fixed-width hex strings order
     exactly like their numeric value, so min-hex == min-int — and sha256 is
     computable identically in Spark, Python and DuckDB, which makes the
     signatures value-checkable by the SQL oracle (xxhash64, the obvious
     faster choice, exists only in Spark; an affine h*a+b permutation
     overflows int64 under ANSI mode).
 
-    Physical shape: explode shingles -> groupBy(id).agg(min per permutation).
-    The num_hashes mins are plain aggregate expressions — partial-aggregated
-    map-side, so the shuffle carries one fixed-width row per (doc, slot) set,
-    and NO lambda expressions are involved. (An earlier array_min(transform)
-    formulation hit a PySpark sibling-lambda variable cross-binding bug that
-    silently corrupted the per-permutation salts — caught by the DuckDB
-    oracle; keep minhash lambda-free.)
+    Physical shape: ONE mapInArrow stage, zero shuffles — each task tokenizes
+    its batch with the RE2 tokenizer (same ASCII \\W semantics as the JVM and
+    DuckDB engines; parity pinned by the tokenizer tests), forms the sliding
+    shingles, and takes the per-permutation min over hashlib digests (native
+    C). The signature is per-document state, so no explode/groupBy exchange
+    is needed at any scale — the previous explode -> 64-min aggregation was
+    algebraically fine but its first execution compiled a huge codegen class
+    plus the interpreted higher-order-function path for the shingle arrays,
+    a one-time JVM cost that dominated any cold (bench-shaped) run once the
+    tokenizer stopped pre-warming those paths. Docs with fewer than
+    ``shingle`` kept tokens yield no row (explode semantics). (A historical
+    note: an array_min(transform) formulation hit a PySpark sibling-lambda
+    variable cross-binding bug that silently corrupted the per-permutation
+    salts — caught by the DuckDB oracle.)
     """
-    # The num_hashes salted-sha256 mins are computed in the aggregation over
-    # the exploded shingles, which runs in the INPUT's partitioning. A
-    # repartition gate for narrow inputs was measured and REMOVED here:
-    # `spark.sql.files.minPartitionNum` (defaults to the cluster's
-    # parallelism) already splits even a single small parquet file to
-    # cluster width, so the gate never fired and its .rdd partition-count
-    # probe alone cost ~0.25 s of plan compilation per call.
-    sh = shingles_column(text_col, shingle)
-    exploded = df.select(id_col, F.explode(sh).alias("_shingle"))
-    # one parsed SQL expression per permutation instead of a 6-call py4j
-    # chain each: building these 64 aggs through the DataFrame API measured
-    # ~0.8 s of driver time per query construction; the parser resolves the
-    # identical min/substring/sha2/concat tree in milliseconds
-    aggs = [
-        F.expr(
-            f"min(substring(sha2(concat('mh{seed}|{i}|', _shingle), 256), 1, 16)) AS _s{i}"
-        )
-        for i in range(num_hashes)
-    ]
-    return (
-        exploded.groupBy(id_col)
-        .agg(*aggs)
-        .select(id_col, F.array(*[f"_s{i}" for i in range(num_hashes)]).alias("signature"))
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("signature", T.ArrayType(T.StringType()))]
     )
+    salts = [f"mh{seed}|{i}|".encode() for i in range(num_hashes)]
+    n = shingle
+    id_name, text_name = id_col, text_col
+    split_re = r"\W+"
+
+    def sig_batches(batches):
+        from hashlib import sha256
+
+        import pyarrow.compute as pc
+
+        bases = [sha256(s) for s in salts]
+        for batch in batches:
+            tab = pa.table(batch)
+            id_arr = tab.column(id_name).combine_chunks()
+            toks = pc.split_pattern_regex(
+                pc.utf8_lower(tab.column(text_name).combine_chunks()), split_re
+            )
+            ids_out: list = []
+            sigs_out: list = []
+            for did, tl in zip(id_arr.to_pylist(), toks.to_pylist()):
+                words = [t for t in tl if t] if tl is not None else []
+                if len(words) < n:
+                    continue
+                shingle_bytes = {
+                    " ".join(words[i : i + n]).encode()
+                    for i in range(len(words) - n + 1)
+                }
+                sig = []
+                for base in bases:
+                    best = None
+                    for sb in shingle_bytes:
+                        h = base.copy()
+                        h.update(sb)
+                        d = h.digest()[:8]
+                        if best is None or d < best:
+                            best = d
+                    sig.append(best.hex())
+                ids_out.append(did)
+                sigs_out.append(sig)
+            yield pa.record_batch(
+                [
+                    pa.array(ids_out, type=id_arr.type),
+                    pa.array(sigs_out, type=pa.list_(pa.string())),
+                ],
+                names=[id_name, "signature"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(sig_batches, out_schema)
 
 
 def minhash_lsh_pairs(

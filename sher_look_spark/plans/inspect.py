@@ -38,7 +38,11 @@ def plan_summary(df: DataFrame) -> dict:
         "shuffles": count_shuffles(df),
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
-        "arrow_python": plan.count("ArrowEvalPython") + plan.count("MapInPandas"),
+        "arrow_python": (
+            plan.count("ArrowEvalPython")
+            + plan.count("MapInPandas")
+            + plan.count("MapInArrow")
+        ),
         "row_python": plan.count("BatchEvalPython"),
         "codegen_stages": len(re.findall(r"WholeStageCodegen", plan)),
     }

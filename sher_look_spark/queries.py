@@ -1509,7 +1509,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" nearly duplicate copy")).alias("text"),
     )
-    sigs = minhash_signatures(docs.unionByName(variants), num_hashes=32)
+    # the probe corpus is a fixed ~220 rows in 2-4 parquet splits; spread it
+    # to cluster width so the per-doc signature hashing uses every core
+    # (signatures are computed per row — partitioning cannot change values)
+    corpus = docs.unionByName(variants).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sigs = minhash_signatures(corpus, num_hashes=32)
     return minhash_lsh_pairs(sigs, bands=16).select(
         "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
     )

@@ -131,8 +131,13 @@ def test_round2_operator_plans_are_scale_shaped(spark):
     )
     sigs = minhash_signatures(docs, num_hashes=8)
     assert not uses_row_python(sigs)
-    # per-permutation mins are grouped aggregates -> map-side partial agg
-    assert "partial" in explain_str(sigs, "simple").lower()
+    # signatures are per-document state computed in ONE Arrow stage — the
+    # plan must carry no Exchange at all (r6: the explode -> 64-min
+    # aggregation was replaced by an in-task hashlib min; zero shuffles)
+    from sher_look_spark.plans import count_shuffles
+
+    assert count_shuffles(sigs) == 0
+    assert plan_summary(sigs)["arrow_python"] >= 1
 
     sim = simhash_table(docs)
     pairs = simhash_neighbor_pairs(sim, bands=6, max_hamming=5)
